@@ -1,0 +1,78 @@
+"""FFT kernel variants — the TPU analog of Linrad's FFT version control.
+
+Linrad ships 21 FFT kernel descriptors (C / MMX / SSE twin+quad / CUDA /
+OpenCL / double, reference fft1var.c:43-65 ``fft_cntrl``) selected per
+stage and channel mode.  On TPU the useful axis of variation collapses to
+two implementations:
+
+- ``XLA``: ``jnp.fft`` — XLA's native FFT, best for large transforms.
+- ``MXU``: DFT-as-matmul — for small/medium batched transforms the
+  128x128 systolic array does an (B,N)x(N,N) complex matmul faster than
+  the generic FFT path, and it fuses with neighbouring elementwise ops.
+  This is the structural descendant of the reference's SIMD "twin/quad
+  parallel" kernels (simdasm.s:35-43): trade redundant FLOPs for full
+  lane/MXU utilisation.
+
+``fft_cntrl``-style selection is a plain size threshold overridable per
+call, so every stage can pin its variant exactly like fft1_version[]
+(reference fft1var.c:74-89).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Transforms at or below this size use the MXU matmul path by default.
+MXU_FFT_MAX_SIZE = 2048
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_matrices(n: int, inverse: bool, dtype: str):
+    sign = 2.0 if inverse else -2.0
+    k = np.arange(n)
+    ang = sign * np.pi * np.outer(k, k) / n
+    scale = 1.0 / n if inverse else 1.0
+    wr = np.cos(ang) * scale
+    wi = np.sin(ang) * scale
+    return (jnp.asarray(wr, dtype=dtype), jnp.asarray(wi, dtype=dtype))
+
+
+def _matmul_fft(x: jax.Array, inverse: bool) -> jax.Array:
+    """Batched DFT via real matmuls on the MXU along the last axis."""
+    n = x.shape[-1]
+    wr, wi = _dft_matrices(n, inverse, "float32")
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    # (…, n) @ (n, n): 4 real matmuls; XLA maps these onto the MXU.
+    yr = jnp.matmul(xr, wr, preferred_element_type=jnp.float32) - \
+         jnp.matmul(xi, wi, preferred_element_type=jnp.float32)
+    yi = jnp.matmul(xr, wi, preferred_element_type=jnp.float32) + \
+         jnp.matmul(xi, wr, preferred_element_type=jnp.float32)
+    return jax.lax.complex(yr, yi)
+
+
+def fft(x: jax.Array, axis: int = -1, variant: str | None = None) -> jax.Array:
+    """Forward FFT along ``axis`` with variant selection."""
+    return _dispatch(x, axis, inverse=False, variant=variant)
+
+
+def ifft(x: jax.Array, axis: int = -1, variant: str | None = None) -> jax.Array:
+    """Inverse FFT along ``axis`` (1/N normalised, matching jnp.fft.ifft)."""
+    return _dispatch(x, axis, inverse=True, variant=variant)
+
+
+def _dispatch(x, axis, inverse, variant):
+    n = x.shape[axis]
+    if variant is None:
+        variant = "mxu" if n <= MXU_FFT_MAX_SIZE else "xla"
+    if variant == "xla":
+        return (jnp.fft.ifft if inverse else jnp.fft.fft)(x, axis=axis)
+    if variant != "mxu":
+        raise ValueError(f"unknown fft variant {variant!r}")
+    x = jnp.moveaxis(x, axis, -1)
+    y = _matmul_fft(x, inverse)
+    return jnp.moveaxis(y, -1, axis)

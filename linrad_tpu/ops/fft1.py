@@ -1,0 +1,111 @@
+"""First FFT — the wideband analysis stage.
+
+TPU-native equivalent of ``fft1_b`` (windowed overlapped forward transform
+of raw A/D blocks, reference fft1.c:3302-4084) and ``fft1_c`` (calibration
+multiply + power-spectrum accumulation, reference fft1.c:4085-4350).
+
+Linrad runs 1-6 worker threads each transforming a different input block
+(thrdef.h:88-93, wcw.c:974-1032); here the same block-level data
+parallelism is a batch axis: one jitted call transforms all frames of the
+step at once, which XLA tiles over the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from . import fft as fftlib
+from .framing import frame_stream
+from .windows import make_window
+
+
+@dataclass(frozen=True)
+class FFT1Tables:
+    """Constant device tables (built once, like get_buffers buf.c:868)."""
+
+    window: jax.Array        # (fft1_size,) float32
+    filtercorr: jax.Array    # (fft1_size, channels) complex64 calibration
+
+    @classmethod
+    def create(cls, geo: Geometry,
+               filtercorr: np.ndarray | None = None) -> "FFT1Tables":
+        win = make_window(geo.fft1_size, geo.fft1_sinpow).astype(np.float32)
+        if filtercorr is None:
+            fc = np.ones((geo.fft1_size, geo.channels), np.complex64)
+        else:
+            fc = np.asarray(filtercorr, np.complex64)
+            if fc.ndim == 1:
+                fc = fc[:, None]
+        return cls(window=jnp.asarray(win), filtercorr=jnp.asarray(fc))
+
+
+@dataclass
+class FFT1State:
+    """Carried state: framer tail + slow power-spectrum average."""
+
+    tail: jax.Array          # (interleave, C) complex64
+    sumsq_avg: jax.Array     # (fft1_size, C) float32 — averaged |X|^2
+
+    @classmethod
+    def create(cls, geo: Geometry) -> "FFT1State":
+        return cls(
+            tail=jnp.zeros((geo.fft1_interleave_points, geo.channels),
+                           jnp.complex64),
+            sumsq_avg=jnp.full((geo.fft1_size, geo.channels), 1e-20,
+                               jnp.float32),
+        )
+
+
+def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
+              block: jax.Array, avg1num: int,
+              variant: str | None = None
+              ) -> tuple[FFT1State, jax.Array, jax.Array]:
+    """Transform one step's worth of input.
+
+    block: (samples_per_step, C) complex64 IQ samples.
+
+    Returns (new_state, spectra, step_power):
+      spectra: (fft1_frames_per_step, fft1_size, C) complex64 — calibrated
+               fft1 transforms (the fft1_float store analog,
+               fft1def.h:242-330).
+      step_power: (fft1_size, C) float32 — this step's mean power spectrum.
+
+    The slow average ``sumsq_avg`` is Linrad's fft1_sumsq (fft1.c:4085)
+    reformulated as an exponential moving average whose weight matches an
+    ``avg1num``-transform boxcar.
+    """
+    frames, new_tail = frame_stream(state.tail, block, geo.fft1_size,
+                                    geo.fft1_new_points)
+    windowed = frames * tables.window[None, :, None]
+    spec = fftlib.fft(windowed, axis=1, variant=variant)
+    spec = spec * tables.filtercorr[None, :, :]
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    step_power = jnp.mean(power, axis=0)
+    alpha = min(1.0, geo.fft1_frames_per_step / max(avg1num, 1))
+    sumsq = state.sumsq_avg * (1.0 - alpha) + step_power * alpha
+    return FFT1State(tail=new_tail, sumsq_avg=sumsq), spec, step_power
+
+
+def fft1_real_step(geo: Geometry, window2n: jax.Array, tail: jax.Array,
+                   block: jax.Array, variant: str | None = None
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Real-input variant: 2N real samples -> N-bin one-sided spectrum.
+
+    The reference folds real input into a half-size complex transform with
+    fused int16->float conversion (``simd1_16_real`` simdasm.s:35-43,
+    real2complex descriptors fft1var.c:43-65); here ``jnp.fft.rfft`` does
+    the fold and XLA fuses the window multiply.
+
+    tail: (2*interleave, C) float32; block: (2*samples_per_step, C) float32.
+    Returns (spectra (n, fft1_size, C) complex64, new_tail).
+    """
+    frames, new_tail = frame_stream(tail, block, 2 * geo.fft1_size,
+                                    2 * geo.fft1_new_points)
+    windowed = frames * window2n[None, :, None]
+    spec = jnp.fft.rfft(windowed, axis=1)[:, : geo.fft1_size, :]
+    return spec.astype(jnp.complex64), new_tail

@@ -1,0 +1,92 @@
+"""Geometry derivation tests against the reference formulas
+(buf.c:43-560, SURVEY.md Appendix A)."""
+
+import math
+
+import pytest
+
+from linrad_tpu import InputMode, RxParams, derive_geometry, interleave_ratio
+
+
+def test_interleave_ratio_formula():
+    # ratio = 2*asin(0.5^(1/N))/pi (buf.c:131)
+    for n in (1, 2, 3, 4):
+        assert interleave_ratio(n) == pytest.approx(
+            2 * math.asin(0.5 ** (1 / n)) / math.pi)
+    assert interleave_ratio(0) == 0.0
+    assert interleave_ratio(8) == 0.8     # buf.c:119-128
+    assert interleave_ratio(9) == 0.625
+    # sin^2 gives exactly 50% overlap
+    assert interleave_ratio(2) == pytest.approx(0.5)
+
+
+def test_fft1_size_from_bandwidth():
+    p = RxParams(rx_ad_speed=96_000, first_fft_bandwidth=100.0,
+                 first_fft_sinpow=2)
+    g = derive_geometry(p)
+    # bandwidth within (0.707, 1.414) of desired (buf.c:185-199)
+    assert 0.7 * 100 < g.fft1_bandwidth < 1.5 * 100
+    assert g.fft1_size == 1 << g.fft1_n
+    assert g.fft1_n >= 7
+
+
+def test_interleave_even_and_consistent():
+    for sinpow in (0, 1, 2, 3, 4):
+        g = derive_geometry(RxParams(first_fft_sinpow=sinpow))
+        assert g.fft1_interleave_points % 2 == 0
+        assert g.fft1_new_points + g.fft1_interleave_points == g.fft1_size
+        # fft1 interleave is a multiple of mix1's scaled by the decimation
+        # (buf.c:325-327)
+        d = g.fft1_size // g.mix1_size
+        assert g.fft1_interleave_points == g.mix1_interleave_points * d
+
+
+def test_real_input_halves_rate():
+    g_iq = derive_geometry(RxParams(input_mode=InputMode.IQ))
+    g_re = derive_geometry(RxParams(input_mode=InputMode.REAL))
+    assert g_iq.timf1_sampling_speed == 96_000
+    assert g_re.timf1_sampling_speed == 48_000  # buf.c:47-51
+
+
+def test_second_fft_resolution_growth():
+    p = RxParams(second_fft_enable=True, second_fft_ninc=2,
+                 first_fft_bandwidth=100.0)
+    g = derive_geometry(p)
+    assert g.fft2_n >= g.fft1_n
+    # growth condition: fft2_bw * 2^ninc < 1.5 * fft1_bw (buf.c:355-371)
+    assert g.fft2_bandwidth * (1 << p.second_fft_ninc) < 1.5 * g.fft1_bandwidth
+    # fft2 interleave snapped to mix1 multiple (buf.c:451-453)
+    d = g.fft2_size // g.mix1_size
+    assert g.fft2_interleave_points == g.mix1_interleave_points * d
+
+
+def test_per_step_frame_counts_are_exact():
+    for second in (False, True):
+        g = derive_geometry(RxParams(second_fft_enable=second))
+        assert g.samples_per_step == g.fft1_frames_per_step * g.fft1_new_points
+        if second:
+            assert g.samples_per_step == (
+                g.fft2_frames_per_step * g.fft2_new_points)
+        # timf3 production matches fft3 consumption exactly
+        timf3 = g.fftx_frames_per_step * g.mix1_new_points
+        assert timf3 == g.fft3_frames_per_step * g.fft3_new_points
+        # decimated hop identity: fftx_new = mix1_new * decimation
+        assert g.fftx_new_points == g.mix1_new_points * g.decimation
+
+
+def test_timf3_rate():
+    g = derive_geometry(RxParams())
+    assert g.timf3_sampling_speed == pytest.approx(
+        g.timf1_sampling_speed * g.mix1_size / g.fftx_size)  # buf.c:478-482
+
+
+def test_noise_floor_avgnum_one_second():
+    g = derive_geometry(RxParams())
+    # ~1 s time constant (buf.c:336-341)
+    assert g.timf2_noise_floor_avgnum == pytest.approx(
+        g.rx_ad_speed / g.fft1_new_points, rel=0.1)
+
+
+def test_params_json_roundtrip():
+    p = RxParams(second_fft_enable=True, blanker_enable=True)
+    assert RxParams.from_json(p.to_json()) == p
