@@ -32,13 +32,15 @@ MXU_FFT_MAX_SIZE = 2048
 
 @functools.lru_cache(maxsize=32)
 def _dft_matrices(n: int, inverse: bool, dtype: str):
+    # cached as numpy so tracing contexts see fresh constants (device
+    # arrays created inside a trace must not be cached across traces)
     sign = 2.0 if inverse else -2.0
     k = np.arange(n)
     ang = sign * np.pi * np.outer(k, k) / n
     scale = 1.0 / n if inverse else 1.0
     wr = np.cos(ang) * scale
     wi = np.sin(ang) * scale
-    return (jnp.asarray(wr, dtype=dtype), jnp.asarray(wi, dtype=dtype))
+    return (wr.astype(dtype), wi.astype(dtype))
 
 
 def _matmul_fft(x: jax.Array, inverse: bool) -> jax.Array:

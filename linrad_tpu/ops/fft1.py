@@ -19,12 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import Geometry
+from ..utils.pytree import pytree_dataclass
 from . import fft as fftlib
 from .framing import frame_stream
 from .windows import make_window
 
 
-@dataclass(frozen=True)
+@pytree_dataclass(frozen=True)
 class FFT1Tables:
     """Constant device tables (built once, like get_buffers buf.c:868)."""
 
@@ -44,7 +45,7 @@ class FFT1Tables:
         return cls(window=jnp.asarray(win), filtercorr=jnp.asarray(fc))
 
 
-@dataclass
+@pytree_dataclass
 class FFT1State:
     """Carried state: framer tail + slow power-spectrum average."""
 

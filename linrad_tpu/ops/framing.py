@@ -72,12 +72,13 @@ def overlap_add(frames: jax.Array, hop: int, carry: jax.Array
         pad_widths = [(0, 0)] * frames.ndim
         pad_widths[1] = (0, pad)
         frames = jnp.pad(frames, pad_widths)
-    chunks = frames.reshape((n, k, hop) + frames.shape[2:])
+    trailing = frames.shape[2:]
+    chunks = frames.reshape((n, k, hop) + trailing)
     # accumulate: output block m (0..n+k-2) = sum_j chunks[m-j, j]
-    total = jnp.zeros((n + k - 1, hop) + frames.shape[3:], frames.dtype)
+    total = jnp.zeros((n + k - 1, hop) + trailing, frames.dtype)
     for j in range(k):
         total = total.at[j: j + n].add(chunks[:, j])
-    flat = total.reshape((-1,) + frames.shape[3:])  # ((n+k-1)*hop, ...)
+    flat = total.reshape((-1,) + trailing)  # ((n+k-1)*hop, ...)
     flat = flat.at[:overlap].add(carry)
     out = flat[: n * hop]
     new_carry = flat[n * hop: n * hop + overlap]

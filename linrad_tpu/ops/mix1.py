@@ -1,0 +1,114 @@
+"""First mixer / decimator — frequency-domain downconversion.
+
+TPU-native ``do_mix1`` (reference mix1.c:55-647): instead of a time-domain
+NCO multiply, a group of ``mix1.size`` bins around the tuned bin is taken
+from each fftx transform (fft1 or fft2 stream), weighted by the
+frequency-domain window ``mix1_fqwin`` (sin^4 taper built by
+make_window(5, mix1.size, 4), reference buf.c:1297 — equivalently
+cos^4(pi*rel/M) over bin offset rel), inverse transformed at 1/decimation
+size, and overlap-added phase-continuously into the ``timf3`` baseband
+stream.
+
+Phase continuity (the reference carries float phase accumulators
+mix1_phase/mix1_phase_rot, mix1.c:141-234 and set_mix1_phases
+mix1.c:781): here the per-frame rotation is exp(-2*pi*i*c*H/N) per hop of
+H samples for centre bin c — tracked as an *integer* phase index
+(c*H mod N) so there is zero drift, and tuning (c) is a traced value so
+retuning never recompiles.  The AFC-driven variant (do_mix1_afc
+mix1.c:648) is the same code with a per-frame array of centre bins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from ..utils.pytree import pytree_dataclass
+from . import fft as fftlib
+from .framing import overlap_add
+from .windows import synthesis_weights
+
+
+@pytree_dataclass(frozen=True)
+class Mix1Tables:
+    fqwin: jax.Array      # (M,) float32, FFT-shifted order (index = small-FFT bin)
+    syn: jax.Array        # (M,) float32 overlap-add synthesis weights
+
+    @classmethod
+    def create(cls, geo: Geometry) -> "Mix1Tables":
+        m = geo.mix1_size
+        rel = np.where(np.arange(m) < m // 2, np.arange(m),
+                       np.arange(m) - m)
+        # mix1_fqwin: sin^4 taper, 1 at band centre -> 0 at edges
+        # (buf.c:1297 make_window(5, mix1.size, 4)); in shifted (bin-offset)
+        # coordinates this is cos^4(pi*rel/M).
+        fqwin = np.cos(np.pi * rel / m) ** 4
+        sinpow = geo.fft2_sinpow if geo.second_fft_enable else geo.fft1_sinpow
+        syn = synthesis_weights(m, geo.mix1_interleave_points, sinpow)
+        return cls(fqwin=jnp.asarray(fqwin, jnp.float32),
+                   syn=jnp.asarray(syn, jnp.float32))
+
+
+@pytree_dataclass
+class Mix1State:
+    phase_idx: jax.Array   # () int32 — phase accumulator in units of 1/N turn
+    ola_carry: jax.Array   # (mix1_interleave, C) complex64
+
+    @classmethod
+    def create(cls, geo: Geometry) -> "Mix1State":
+        return cls(
+            phase_idx=jnp.zeros((), jnp.int32),
+            ola_carry=jnp.zeros((geo.mix1_interleave_points, geo.channels),
+                                jnp.complex64),
+        )
+
+
+def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
+              spectra: jax.Array, center_bins: jax.Array,
+              variant: str | None = None
+              ) -> tuple[Mix1State, jax.Array]:
+    """Downconvert one step of fftx spectra to the timf3 baseband stream.
+
+    spectra:     (n, N, C) complex64 fftx transforms at hop H samples
+    center_bins: () or (n,) int32 tuned bin(s); a per-frame array is the
+                 AFC path (mix1.c:648), a scalar the fixed path (:995).
+
+    Returns (new_state, timf3) with timf3 (n * mix1_new_points, C)
+    complex64 at timf3_sampling_speed, amplitude-true (the analysis
+    window and 1/N scaling are removed by the synthesis weights).
+    """
+    n, big_n, _c = spectra.shape
+    m = geo.mix1_size
+    hop = geo.fftx_new_points
+    center_bins = jnp.broadcast_to(jnp.asarray(center_bins, jnp.int32), (n,))
+
+    rel = jnp.where(jnp.arange(m) < m // 2, jnp.arange(m),
+                    jnp.arange(m) - m)
+    bins = jnp.mod(center_bins[:, None] + rel[None, :], big_n)  # (n, M)
+    sel = jnp.take_along_axis(spectra, bins[:, :, None], axis=1)  # (n,M,C)
+    sel = sel * tables.fqwin[None, :, None]
+
+    y = fftlib.ifft(sel, axis=1, variant=variant) * (m / big_n)
+
+    # Integer phase bookkeeping: frame b needs exp(-2*pi*i*phi_b/N) with
+    # phi advancing by c_b*H (mod N) per frame.  N is a power of two, so
+    # uint32 wraparound multiplication/addition is *exact* mod N (N | 2^32)
+    # — zero drift at any transform size, unlike the reference's float
+    # accumulators (mix1.c:141-234).
+    mask = jnp.uint32(big_n - 1)
+    incr = (center_bins.astype(jnp.uint32) * jnp.uint32(hop)) & mask
+    cum = jnp.cumsum(incr) - incr  # exclusive prefix (wrapping uint32)
+    idx = (state.phase_idx.astype(jnp.uint32) + cum) & mask
+    theta = (-2.0 * jnp.pi / big_n) * idx.astype(jnp.float32)
+    rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    y = y * rot[:, None, None]
+    new_phase = ((state.phase_idx.astype(jnp.uint32) + jnp.sum(incr))
+                 & mask).astype(jnp.int32)
+
+    frames = y * tables.syn[None, :, None]
+    timf3, carry = overlap_add(frames, geo.mix1_new_points, state.ola_carry)
+    return Mix1State(phase_idx=new_phase, ola_carry=carry), timf3

@@ -1,0 +1,126 @@
+"""Second mixer: baseband filter + inverse transform to demod input.
+
+TPU-native ``do_mix2``/``fft3_mix2`` (reference mix2.c:41-2070,
+mixer_mode 1 frequency-domain path mix2.c:146-216): ``mix2.size`` bins of
+each fft3 transform centred at DC are multiplied by the user filter
+``bg_filterfunc``, inverse transformed, and overlap-added to the
+``baseb_raw`` stream.  The filter includes the inverse-``mix1_fqwin``
+compensation of the reference (baseb_graph.c:1517-1520, 3795-3798) so the
+end-to-end passband is flat.
+
+The carrier branch (same bins x the ``bg_carrfilter`` narrow filter,
+mix2.c:246-262) feeds coherent demodulation in :mod:`demod`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from ..utils.pytree import pytree_dataclass
+from ..params import RxParams
+from . import fft as fftlib
+from .framing import overlap_add
+from .windows import synthesis_weights
+
+
+def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
+              edge_hz: float = 0.0, compensate_fqwin: bool = True
+              ) -> np.ndarray:
+    """Baseband filter in shifted mix2-bin order (the make_bg_filter
+    analog, reference baseb_graph.c:1246).
+
+    Passband [low_hz, high_hz] (relative to the tuned frequency, negative
+    = below carrier) with raised-cosine edges of width edge_hz, times the
+    1/mix1_fqwin passband compensation."""
+    m2 = geo.mix2_size
+    n3 = geo.fft3_size
+    fs3 = geo.timf3_sampling_speed
+    rel = np.where(np.arange(m2) < m2 // 2, np.arange(m2),
+                   np.arange(m2) - m2)
+    freq = rel * fs3 / n3
+    if edge_hz <= 0:
+        edge_hz = max(20.0, 0.02 * (high_hz - low_hz))
+    h = np.ones(m2)
+    h *= np.clip((freq - (low_hz - edge_hz)) / edge_hz, 0.0, 1.0)
+    h *= np.clip(((high_hz + edge_hz) - freq) / edge_hz, 0.0, 1.0)
+    h = np.sin(0.5 * np.pi * h) ** 2  # raised-cosine edge
+    if compensate_fqwin:
+        # undo the mix1 sin^4 frequency taper inside the passband
+        # (baseb_graph.c:3795-3798); fqwin argument is the mix1 bin offset
+        rel_m1 = freq / geo.timf3_sampling_speed * geo.mix1_size
+        fq = np.cos(np.pi * np.clip(np.abs(rel_m1) / geo.mix1_size, 0,
+                                    0.49)) ** 4
+        h = h / np.maximum(fq, 1e-3)
+    return h.astype(np.float32)
+
+
+@pytree_dataclass(frozen=True)
+class Mix2Tables:
+    filt: jax.Array       # (mix2_size,) float32 main filter
+    carr_filt: jax.Array  # (mix2_size,) float32 narrow carrier filter
+    syn: jax.Array        # (mix2_size,) float32 OLA synthesis weights
+
+    @classmethod
+    def create(cls, geo: Geometry, p: RxParams,
+               coh_factor: float = 8.0) -> "Mix2Tables":
+        filt = bg_filter(geo, p.filter_low_hz, p.filter_high_hz)
+        # carrier filter: bg.coh_factor x narrower, centred on the BFO
+        # (mix2.c:246-262)
+        width = (p.filter_high_hz - p.filter_low_hz) / (2.0 * coh_factor)
+        carr = bg_filter(geo, -width, width)
+        m2 = geo.mix2_size
+        interleave = m2 - geo.mix2_new_points
+        syn = synthesis_weights(m2, interleave, geo.fft3_sinpow)
+        return cls(filt=jnp.asarray(filt), carr_filt=jnp.asarray(carr),
+                   syn=jnp.asarray(syn, jnp.float32))
+
+
+@pytree_dataclass
+class Mix2State:
+    ola_carry: jax.Array       # (mix2_interleave, C) complex64
+    carr_ola_carry: jax.Array  # same for the carrier branch
+
+    @classmethod
+    def create(cls, geo: Geometry) -> "Mix2State":
+        ov = geo.mix2_size - geo.mix2_new_points
+        z = jnp.zeros((ov, geo.channels), jnp.complex64)
+        return cls(ola_carry=z, carr_ola_carry=z)
+
+
+def _branch(geo: Geometry, spectra, filt, syn, carry, variant):
+    m2 = geo.mix2_size
+    n3 = geo.fft3_size
+    rel = jnp.where(jnp.arange(m2) < m2 // 2, jnp.arange(m2),
+                    jnp.arange(m2) - m2)
+    bins = jnp.mod(rel, n3)
+    sel = spectra[:, bins, :] * filt[None, :, None]
+    y = fftlib.ifft(sel, axis=1, variant=variant) * (m2 / n3)
+    frames = y * syn[None, :, None]
+    return overlap_add(frames, geo.mix2_new_points, carry)
+
+
+def mix2_step(geo: Geometry, tables: Mix2Tables, state: Mix2State,
+              spectra: jax.Array, with_carrier: bool = False,
+              variant: str | None = None
+              ) -> tuple[Mix2State, jax.Array, jax.Array | None]:
+    """fft3 spectra (n3, fft3_size, C) -> filtered baseband stream.
+
+    Returns (new_state, baseb, carrier) with baseb shape
+    (n3 * mix2_new_points, C) complex64 at baseband_sampling_speed;
+    carrier is the narrow carrier-filter branch (or None).
+    """
+    baseb, carry = _branch(geo, spectra, tables.filt, tables.syn,
+                           state.ola_carry, variant)
+    carrier = None
+    carr_carry = state.carr_ola_carry
+    if with_carrier:
+        carrier, carr_carry = _branch(geo, spectra, tables.carr_filt,
+                                      tables.syn, state.carr_ola_carry,
+                                      variant)
+    return (Mix2State(ola_carry=carry, carr_ola_carry=carr_carry),
+            baseb, carrier)

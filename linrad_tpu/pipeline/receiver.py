@@ -1,0 +1,86 @@
+"""Host-side receiver orchestrator.
+
+The ``normal_rx_routine`` analog (reference menu.c:576-959): owns the
+configuration, builds geometry/tables/state, jits the step function, and
+streams blocks from a file/generator through the device.  Where Linrad
+spins up ~15 threads and a supervisor loop, this object is a thin
+feeder: per-sample work lives in the jitted step; the host only slices
+input blocks and collects outputs (the AFC/Morse-style ~Hz control
+decisions also live host-side, per SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import Geometry, derive_geometry
+from ..params import RxParams
+from .chain import RxOutputs, RxState, RxTables, make_rx_step
+
+
+class Receiver:
+    def __init__(self, params: RxParams):
+        self.params = params
+        self.geo: Geometry = derive_geometry(params)
+        self.tables = RxTables.create(self.geo, params)
+        self.state = RxState.create(self.geo)
+        step = make_rx_step(self.geo, params)
+        self._step = jax.jit(step)
+        self._tune_bin = jnp.zeros((), jnp.int32)
+
+    # ---- tuning -------------------------------------------------------
+    def tune(self, freq_hz: float) -> None:
+        """Select the mix1 centre frequency (quantised to an fftx bin,
+        like the reference's frequency selection into mix1_selfreq)."""
+        n = self.geo.fftx_size
+        fs = self.geo.timf1_sampling_speed
+        bin_idx = int(round(freq_hz / fs * n)) % n
+        self._tune_bin = jnp.asarray(bin_idx, jnp.int32)
+
+    @property
+    def tuned_hz(self) -> float:
+        n = self.geo.fftx_size
+        b = int(self._tune_bin)
+        if b >= n // 2:
+            b -= n
+        return b * self.geo.timf1_sampling_speed / n
+
+    # ---- streaming ----------------------------------------------------
+    def process_block(self, block) -> RxOutputs:
+        """Process exactly geo.samples_per_step IQ samples (S, C)."""
+        block = jnp.asarray(block, jnp.complex64)
+        if block.ndim == 1:
+            block = block[:, None]
+        assert block.shape == (self.geo.samples_per_step,
+                               self.geo.channels), block.shape
+        self.state, out = self._step(self.tables, self.state, block,
+                                     self._tune_bin)
+        return out
+
+    def run(self, iq: np.ndarray, progress: bool = False):
+        """Stream an arbitrary-length recording; yields RxOutputs per
+        step (drops the final partial block, like the reference's file
+        input thread stops at EOF, modesub.c:1022)."""
+        if iq.ndim == 1:
+            iq = iq[:, None]
+        s = self.geo.samples_per_step
+        for i in range(iq.shape[0] // s):
+            yield self.process_block(iq[i * s:(i + 1) * s])
+
+    def process(self, iq: np.ndarray) -> dict[str, np.ndarray]:
+        """Convenience: process a whole recording, concatenate outputs."""
+        audio, baseb, gains = [], [], []
+        power = None
+        for out in self.run(iq):
+            audio.append(np.asarray(out.audio))
+            baseb.append(np.asarray(out.baseb))
+            gains.append(np.asarray(out.agc_gain))
+            power = np.asarray(out.fft1_avg_power)
+        return {
+            "audio": np.concatenate(audio) if audio else np.zeros((0, 1)),
+            "baseb": np.concatenate(baseb) if baseb else np.zeros((0, 1)),
+            "agc_gain": np.concatenate(gains) if gains else np.zeros((0, 1)),
+            "fft1_avg_power": power,
+        }

@@ -1,0 +1,171 @@
+"""End-to-end chain tests: fft1 -> mix1 -> fft3 -> mix2 -> demod.
+
+The parity metric follows the reference's validation model (SURVEY.md §4:
+recorded/synthetic replay, audio SNR): a pure tone through the whole
+chain must come out amplitude-true and spectrally clean.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from linrad_tpu import Demod, RxParams
+from linrad_tpu.pipeline import Receiver
+from linrad_tpu.io.siggen import Tone, tones_iq
+
+
+def _fit_tone_snr(z: np.ndarray, freq_hz: float, fs: float) -> float:
+    """SNR (dB) of a complex stream against the best-fit tone at freq."""
+    t = np.arange(len(z)) / fs
+    ref = np.exp(2j * np.pi * freq_hz * t)
+    amp = np.vdot(ref, z) / len(z)
+    resid = z - amp * ref
+    return 10 * np.log10(np.vdot(z, z).real / max(np.vdot(resid,
+                                                          resid).real,
+                                                  1e-30))
+
+
+def _rx(**kw):
+    kw.setdefault("first_fft_bandwidth", 100.0)
+    kw.setdefault("mix1_bandwidth_reduction_n", 4)
+    kw.setdefault("agc_enable", False)
+    return Receiver(RxParams(**kw))
+
+
+class TestSSBChain:
+    def test_tone_amplitude_and_purity(self):
+        rx = _rx()
+        g = rx.geo
+        fc, delta = 12_000.0, 400.0
+        rx.tune(fc)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 10,
+                      [Tone(fc + delta)])
+        out = rx.process(iq)
+        z = out["baseb"][len(out["baseb"]) // 3:, 0]
+        snr = _fit_tone_snr(z, delta, g.baseband_sampling_speed)
+        assert snr > 70.0, snr
+        # amplitude-true within 0.1%
+        assert np.abs(z).mean() == pytest.approx(1.0, rel=1e-3)
+
+    def test_audio_frequency(self):
+        rx = _rx(bfo_hz=800.0)
+        g = rx.geo
+        rx.tune(12_000.0)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 8,
+                      [Tone(12_400.0)])
+        audio = rx.process(iq)["audio"][:, 0]
+        a = audio[len(audio) // 3:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        freqs = np.fft.rfftfreq(len(a), 1 / g.baseband_sampling_speed)
+        assert freqs[np.argmax(spec)] == pytest.approx(1200.0, abs=2.0)
+
+    def test_out_of_band_rejection(self):
+        rx = _rx(filter_low_hz=-1000.0, filter_high_hz=1000.0)
+        g = rx.geo
+        rx.tune(12_000.0)
+        # in-band + far out-of-band tone (outside mix1 selection)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 6,
+                      [Tone(12_300.0), Tone(30_000.0, amplitude=100.0)])
+        z = rx.process(iq)["baseb"][:, 0]
+        zz = z[len(z) // 3:]
+        snr = _fit_tone_snr(zz, 300.0, g.baseband_sampling_speed)
+        assert snr > 60.0, snr
+
+    def test_retune_without_recompile(self):
+        rx = _rx()
+        g = rx.geo
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step,
+                      [Tone(10_000.0)])
+        rx.tune(10_000.0)
+        rx.process_block(iq[:, None] if iq.ndim == 1 else iq)
+        compiles_before = rx._step._cache_size()
+        rx.tune(20_000.0)
+        rx.process_block(iq[:, None] if iq.ndim == 1 else iq)
+        assert rx._step._cache_size() == compiles_before
+
+    def test_negative_frequency_tuning(self):
+        rx = _rx()
+        g = rx.geo
+        fc = -15_000.0
+        rx.tune(fc)
+        assert rx.tuned_hz == pytest.approx(fc, abs=g.fftx_bandwidth)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 6,
+                      [Tone(fc + 500.0)])
+        z = rx.process(iq)["baseb"][:, 0]
+        zz = z[len(z) // 3:]
+        snr = _fit_tone_snr(zz, 500.0, g.baseband_sampling_speed)
+        assert snr > 70.0, snr
+
+    def test_streaming_block_invariance(self):
+        """Block boundaries must be inaudible: same input split into
+        different step sequences gives identical audio (the circular
+        buffer contract of z_BUFFERS.txt as a functional invariant)."""
+        g = _rx().geo
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 4,
+                      [Tone(12_350.0)])
+        rx1 = _rx()
+        rx1.tune(12_000.0)
+        full = np.concatenate(
+            [np.asarray(o.audio) for o in rx1.run(iq)])
+        rx2 = _rx()
+        rx2.tune(12_000.0)
+        half = np.concatenate(
+            [np.asarray(o.audio) for o in rx2.run(iq[: 2 * g.samples_per_step])]
+            + [np.asarray(o.audio) for o in rx2.run(iq[2 * g.samples_per_step:])])
+        np.testing.assert_allclose(half, full, atol=1e-5)
+
+
+class TestOtherDemods:
+    def test_am(self):
+        rx = _rx(demod=Demod.AM, filter_low_hz=-3000.0,
+                 filter_high_hz=3000.0)
+        g = rx.geo
+        rx.tune(12_000.0)
+        fs = g.rx_ad_speed
+        n = g.samples_per_step * 8
+        t = np.arange(n) / fs
+        mod = 1.0 + 0.5 * np.sin(2 * np.pi * 700.0 * t)
+        iq = (mod * np.exp(2j * np.pi * 12_000.0 * t)).astype(np.complex64)
+        audio = rx.process(iq)["audio"][:, 0]
+        a = audio[len(audio) // 2:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        freqs = np.fft.rfftfreq(len(a), 1 / g.baseband_sampling_speed)
+        assert freqs[np.argmax(spec[5:]) + 5] == pytest.approx(700.0,
+                                                               abs=5.0)
+
+    def test_fm(self):
+        rx = _rx(demod=Demod.FM, filter_low_hz=-2500.0,
+                 filter_high_hz=2500.0, mix1_bandwidth_reduction_n=3)
+        g = rx.geo
+        rx.tune(12_000.0)
+        fs = g.rx_ad_speed
+        n = g.samples_per_step * 8
+        t = np.arange(n) / fs
+        dev, fmod = 1000.0, 400.0
+        phase = 2 * np.pi * 12_000.0 * t + (dev / fmod) * np.sin(
+            2 * np.pi * fmod * t)
+        iq = np.exp(1j * phase).astype(np.complex64)
+        audio = rx.process(iq)["audio"][:, 0]
+        a = audio[len(audio) // 2:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        freqs = np.fft.rfftfreq(len(a), 1 / g.baseband_sampling_speed)
+        assert freqs[np.argmax(spec[5:]) + 5] == pytest.approx(fmod,
+                                                               abs=5.0)
+
+    def test_agc_levels_strong_and_weak(self):
+        rx = _rx(agc_enable=True, agc_release_ms=100.0)
+        g = rx.geo
+        rx.tune(12_000.0)
+        fs = g.rx_ad_speed
+        n = g.samples_per_step * 10
+        # strong tone then 40 dB weaker tone
+        half = n // 2
+        a1 = tones_iq(fs, half, [Tone(12_400.0, amplitude=100.0)])
+        a2 = tones_iq(fs, half, [Tone(12_400.0, amplitude=1.0)],
+                      start=half)
+        audio = rx.process(np.concatenate([a1, a2]))["audio"][:, 0]
+        s_bb = len(audio) // 10
+        strong = np.sqrt(np.mean(audio[3 * s_bb: 5 * s_bb] ** 2))
+        weak = np.sqrt(np.mean(audio[8 * s_bb:] ** 2))
+        # AGC holds both within a few dB of each other
+        assert abs(20 * np.log10(strong / weak)) < 6.0
