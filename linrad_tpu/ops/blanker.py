@@ -1,0 +1,222 @@
+"""Noise blankers — the "smart" fit-and-subtract and "stupid" clear
+blankers on the weak timf2 channel.
+
+TPU-native ``first_noise_blanker`` (reference blank1.c:684-1603):
+
+Clever blanker (``subtract_onechan_pulse`` blank1.c:36-232): find the
+strongest candidate above threshold, derotate a window around it by the
+system phase function, take the power-weighted average phase of the 3
+centre points, reject if quadrature power > 0.25 x in-phase power
+(blank1.c:121), localise the pulse to sub-sample precision with a
+parabolic fit ``t4=(a[-1]-a[+1])/(2*(a[-1]+a[+1]-2*a[0]))`` then
+``frac = sign * sqrt(0.5*|t4|)`` (blank1.c:126-137), pick the matching
+reference pulse from a bank of fractionally-shifted system responses
+(built like init_blanker, buf.c:1771-2104), subtract it, and undo if the
+residual power exceeds half the original (blank1.c:188-231).
+
+The reference walks the ring buffer sequentially; here the search is a
+global argmax and the sequential dependence (each subtraction changes
+the data under later fits — unavoidable, the pulses overlap) is a
+bounded ``lax.fori_loop`` of masked steps, per SURVEY.md §7.
+
+Stupid blanker (blank1.c:1013-1083): hard-zero every point above the
+threshold, then widen each cleared run by
+``(pulsewidth+1)/2 * sqrt(peak/noise)/100`` points before and
+``(pulsewidth+1) * sqrt(peak/noise)/100`` after (ratio capped at 10^4),
+only when peak/noise > 4.  Vectorised as segmented run maxima plus
+prefix/suffix reach scans — no sequential pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from ..utils.pytree import pytree_dataclass
+from ..utils.segments import segment_max
+
+MAX_REFPULSES = 64   # reference uses 256 (blnkdef.h:13); 64 fractional
+                     # steps keep sub-sample error < 1% of a sample
+
+
+def make_refpulse_bank(freq_response: np.ndarray, pul_size: int,
+                       n_pulses: int = MAX_REFPULSES
+                       ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Build the fractionally-shifted reference pulse bank.
+
+    freq_response: (N,) complex — the system response an impulse sees
+    (fft1_desired analog; flat == band-limited Dirichlet pulses).
+
+    Returns (bank (n_pulses, pul_size) complex64,
+             phasefunc (pul_size,) complex64,
+             pulsewidth int) — pulsewidth is the -15 dB half width
+    (buf.c:1852-1855, min 2)."""
+    n = len(freq_response)
+    k = np.fft.fftfreq(n) * n  # signed bin numbers
+    half = pul_size // 2
+    fracs = np.arange(n_pulses) / n_pulses - 0.5
+    bank = np.zeros((n_pulses, pul_size), np.complex128)
+    for j, d in enumerate(fracs):
+        ramp = np.exp(-2j * np.pi * k * d / n)
+        pulse = np.fft.ifft(freq_response * ramp)
+        rolled = np.roll(pulse, half)[:pul_size]
+        peak = rolled[half]
+        if abs(peak) < 1e-12:
+            peak = 1.0
+        bank[j] = rolled / peak
+    # phase function from the unshifted response (blanker_phasefunc)
+    p0 = np.roll(np.fft.ifft(freq_response), half)[:pul_size]
+    mag = np.abs(p0)
+    unit = np.where(mag > 1e-9 * mag.max(), p0 / np.maximum(mag, 1e-30),
+                    1.0)
+    phasefunc = np.conj(unit)
+    # -15 dB pulse width (power > 0.033 of peak), minimum 2
+    pw = 2
+    ppow = np.abs(p0) ** 2
+    while half + pw < pul_size and ppow[half + pw] > 0.033 * ppow[half]:
+        pw += 1
+    pw = min(pw, half - 2)
+    return (bank.astype(np.complex64), phasefunc.astype(np.complex64),
+            max(pw, 2))
+
+
+@pytree_dataclass(frozen=True)
+class BlankerTables:
+    refbank: jax.Array    # (n_pulses, pul_size) complex64
+    phasefunc: jax.Array  # (pul_size,) complex64
+
+    @classmethod
+    def create(cls, geo: Geometry,
+               freq_response: np.ndarray | None = None,
+               pul_size: int = 64) -> tuple["BlankerTables", int]:
+        if freq_response is None:
+            freq_response = np.ones(geo.fft1_size, np.complex128)
+        bank, pf, pw = make_refpulse_bank(freq_response, pul_size)
+        return (cls(refbank=jnp.asarray(bank), phasefunc=jnp.asarray(pf)),
+                pw)
+
+
+@pytree_dataclass
+class BlankerState:
+    noise_floor: jax.Array  # () float32 — despiked weak power / point
+
+    @classmethod
+    def create(cls, geo: Geometry) -> "BlankerState":
+        # start 23 dB above one-bit amplitude (buf.c:415-427)
+        return cls(noise_floor=jnp.asarray(200.0, jnp.float32))
+
+
+def clever_blanker(weak: jax.Array, pwr: jax.Array,
+                   tables: BlankerTables, noise_floor: jax.Array,
+                   limit_amp: float, pulsewidth: int, max_pulses: int
+                   ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fit-and-subtract up to ``max_pulses`` pulses from the weak stream.
+
+    weak: (S, C) complex64; pwr: (S,) float32 channel-summed power.
+    Returns (weak', pwr', fitted_count)."""
+    s, c = weak.shape
+    pul = tables.refbank.shape[1]
+    half = pul // 2
+    pw = pulsewidth
+    thr = jnp.float32(limit_amp * limit_amp) * noise_floor
+
+    wpad = jnp.pad(weak, ((pul, pul), (0, 0)))
+    ppad = jnp.pad(pwr, (pul, pul))
+    active = jnp.pad(jnp.ones(s, bool), (pul, pul))
+
+    def body(_, carry):
+        wpad, ppad, active, nfit = carry
+        cand = jnp.where(active, ppad, -1.0)
+        p = jnp.argmax(cand).astype(jnp.int32)
+        valid = cand[p] > thr
+
+        start = p - half
+        win = jax.lax.dynamic_slice(wpad, (start, 0), (pul, c))
+        derot = win * tables.phasefunc[:, None]
+        ctr = derot[half - 1: half + 2]                      # (3, C)
+        ph = jnp.sum(jnp.abs(ctr) * ctr, axis=0)             # (C,)
+        unit = ph / jnp.maximum(jnp.abs(ph), 1e-20)
+        rot = derot * jnp.conj(unit)[None, :]
+        seg = rot[half - pw: half + pw + 1]
+        ipow = jnp.sum(jnp.real(seg) ** 2)
+        qpow = jnp.sum(jnp.imag(seg) ** 2)
+        shape_ok = qpow <= 0.25 * ipow                       # blank1.c:121
+
+        a = jnp.sum(jnp.real(rot), axis=1)                   # (pul,)
+        t3 = 2.0 * (a[half - 1] + a[half + 1] - 2.0 * a[half])
+        t4 = jnp.where(jnp.abs(t3) > 1e-20,
+                       (a[half - 1] - a[half + 1]) / t3, 0.0)
+        frac = jnp.sign(t4) * jnp.sqrt(0.5 * jnp.abs(t4))
+        nref = tables.refbank.shape[0]
+        j = jnp.clip((nref * (frac + 0.5) + 0.5).astype(jnp.int32), 0,
+                     nref - 1)
+        ref = tables.refbank[j]                              # (pul,)
+
+        # a true pulse is win = coef * bank_j with coef = A*e^{i*phi};
+        # the bank rows are raw (non-derotated) pulses, so subtract
+        # coef * ref directly (blank1.c:157-162)
+        coef = unit * jnp.real(rot[half])                    # (C,) complex
+        sub = ref[:, None] * coef[None, :]
+        neww = win - sub
+        newp = jnp.sum(jnp.real(neww) ** 2 + jnp.imag(neww) ** 2, axis=1)
+        oldp = jax.lax.dynamic_slice(ppad, (start,), (pul,))
+        ratio = jnp.sum(newp) / jnp.maximum(jnp.sum(oldp), 1e-20)
+        success = valid & shape_ok & (ratio <= 0.5)          # blank1.c:188
+
+        wpad2 = jax.lax.dynamic_update_slice(
+            wpad, jnp.where(success, neww, win), (start, 0))
+        ppad2 = jax.lax.dynamic_update_slice(
+            ppad, jnp.where(success, newp, oldp), (start,))
+        # always retire the candidate region so the loop progresses
+        retire = jnp.zeros(2 * pw + 1, bool)
+        act2 = jax.lax.dynamic_update_slice(active, retire, (p - pw,))
+        active2 = jnp.where(valid, act2, active)
+        return wpad2, ppad2, active2, nfit + success.astype(jnp.int32)
+
+    wpad, ppad, _, nfit = jax.lax.fori_loop(
+        0, max_pulses, body, (wpad, ppad, active, jnp.int32(0)))
+    return wpad[pul: pul + s], ppad[pul: pul + s], nfit
+
+
+def stupid_blanker(weak: jax.Array, pwr: jax.Array,
+                   noise_floor: jax.Array, limit_amp: float,
+                   pulsewidth: int
+                   ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Hard-clear every run above threshold, widened by the
+    sqrt(peak/noise)/100 rule (blank1.c:1013-1083).
+
+    Returns (weak', pwr', cleared_count)."""
+    s = pwr.shape[0]
+    thr = jnp.float32(limit_amp * limit_amp) * noise_floor
+    flagged = pwr > thr
+    runmax = segment_max(pwr, flagged)
+    t = jnp.sqrt(jnp.clip(runmax / jnp.maximum(noise_floor, 1e-20),
+                          0.0, 1e4)) / 100.0
+    widen = flagged & (runmax > 4.0 * noise_floor)
+    before = jnp.where(widen,
+                       ((pulsewidth + 1) // 2) * t + 0.5, 0.0)
+    after = jnp.where(widen, (pulsewidth + 1) * t + 0.5, 0.0)
+    pos = jnp.arange(s, dtype=jnp.float32)
+    reach_l = jnp.where(widen, pos - before, jnp.inf)
+    reach_r = jnp.where(widen, pos + after, -jnp.inf)
+    suf_min = jax.lax.cummin(reach_l, axis=0, reverse=True)
+    pre_max = jax.lax.cummax(reach_r, axis=0)
+    cleared = flagged | (suf_min <= pos) | (pre_max >= pos)
+    weak2 = jnp.where(cleared[:, None], 0.0, weak)
+    pwr2 = jnp.where(cleared, 0.0, pwr)
+    return weak2, pwr2, jnp.sum(cleared.astype(jnp.int32))
+
+
+def update_noise_floor(state: BlankerState, pwr: jax.Array,
+                       step_seconds: float) -> BlankerState:
+    """~1 s time-constant despiked noise tracker (buf.c:336-346): average
+    the weak power excluding the top decile so pulses do not bias it."""
+    cut = jnp.quantile(pwr, 0.9)
+    keep = pwr <= cut
+    mean = jnp.sum(jnp.where(keep, pwr, 0.0)) / jnp.maximum(
+        jnp.sum(keep), 1)
+    alpha = jnp.float32(min(1.0, step_seconds))
+    nf = state.noise_floor * (1 - alpha) + mean * alpha
+    return BlankerState(noise_floor=jnp.maximum(nf, 1e-20))

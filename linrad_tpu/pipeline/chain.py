@@ -10,6 +10,11 @@ Thread hand-offs become function composition; circular buffers become the
 carried ``RxState`` pytree; events/semaphores vanish (XLA's dataflow *is*
 the synchronisation).  Everything inside is static-shaped, so the whole
 chain compiles to a single fused XLA program per configuration.
+
+With the second FFT enabled the wideband branch runs between fft1 and
+mix1: sellim classification -> weak/strong back transform -> noise
+blankers -> fft2, and the narrowband chain consumes fft2 transforms
+(the fft1/fft2 store boundary of fft1def.h:242-330).
 """
 
 from __future__ import annotations
@@ -22,10 +27,16 @@ from ..params import Demod, RxParams
 from ..utils.pytree import pytree_dataclass
 from ..ops import agc as agc_ops
 from ..ops import demod as demod_ops
+from ..ops import blanker as blanker_ops
+from ..ops import sellim as sellim_ops
+from ..ops.blanker import BlankerState, BlankerTables
 from ..ops.fft1 import FFT1State, FFT1Tables, fft1_step
+from ..ops.fft2 import FFT2State, FFT2Tables, fft2_step
 from ..ops.fft3 import FFT3State, FFT3Tables, fft3_step
 from ..ops.mix1 import Mix1State, Mix1Tables, mix1_step
 from ..ops.mix2 import Mix2State, Mix2Tables, mix2_step
+from ..ops.sellim import SellimState
+from ..ops.timf2 import Timf2State, make_timf2_syn, timf2_step
 
 
 @pytree_dataclass(frozen=True)
@@ -34,12 +45,22 @@ class RxTables:
     mix1: Mix1Tables
     fft3: FFT3Tables
     mix2: Mix2Tables
+    fft2: FFT2Tables | None
+    timf2_syn: jax.Array | None
+    blanker: BlankerTables | None
 
     @classmethod
     def create(cls, geo: Geometry, p: RxParams) -> "RxTables":
-        return cls(fft1=FFT1Tables.create(geo), mix1=Mix1Tables.create(geo),
+        fft2 = timf2_syn = blanker = None
+        if geo.second_fft_enable:
+            fft2 = FFT2Tables.create(geo)
+            timf2_syn = make_timf2_syn(geo)
+            blanker, _pw = BlankerTables.create(geo)
+        return cls(fft1=FFT1Tables.create(geo),
+                   mix1=Mix1Tables.create(geo),
                    fft3=FFT3Tables.create(geo),
-                   mix2=Mix2Tables.create(geo, p))
+                   mix2=Mix2Tables.create(geo, p),
+                   fft2=fft2, timf2_syn=timf2_syn, blanker=blanker)
 
 
 @pytree_dataclass
@@ -53,10 +74,15 @@ class RxState:
     fm: demod_ops.FMState
     coh: demod_ops.CoherentState
     agc: agc_ops.AGCState
+    sellim: SellimState | None
+    timf2: Timf2State | None
+    fft2: FFT2State | None
+    blanker: BlankerState | None
 
     @classmethod
     def create(cls, geo: Geometry) -> "RxState":
         c = geo.channels
+        wide = geo.second_fft_enable
         return cls(
             fft1=FFT1State.create(geo),
             mix1=Mix1State.create(geo),
@@ -67,6 +93,10 @@ class RxState:
             fm=demod_ops.FMState.create(c),
             coh=demod_ops.CoherentState.create(c),
             agc=agc_ops.AGCState.create(c),
+            sellim=SellimState.create(geo) if wide else None,
+            timf2=Timf2State.create(geo) if wide else None,
+            fft2=FFT2State.create(geo) if wide else None,
+            blanker=BlankerState.create(geo) if wide else None,
         )
 
 
@@ -81,26 +111,73 @@ class RxOutputs:
     fft1_power: jax.Array     # (fft1_size, C) float32 step power spectrum
     fft1_avg_power: jax.Array  # slow average (fft1_sumsq analog)
     agc_gain: jax.Array       # (S_bb, C) float32
+    fft2_power: jax.Array | None      # (fft2_size, C) float32
+    liminfo: jax.Array | None         # (fft1_size,) float32
+    blanker_fitted: jax.Array | None  # () int32 pulses subtracted
+    blanker_cleared: jax.Array | None  # () int32 points hard-cleared
+    noise_floor: jax.Array | None     # () float32
 
 
-def make_rx_step(geo: Geometry, p: RxParams):
+def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
     """Build the pure step function for this configuration.
 
     Returns ``step(tables, state, block, tune_bin) -> (state, outputs)``
     with block (samples_per_step, C) complex64 and tune_bin a traced
     int32 fftx bin index (retuning does not recompile).
     """
-    if geo.second_fft_enable:
-        raise NotImplementedError(
-            "second-FFT chain lands in the wideband milestone")
     fs_bb = geo.baseband_sampling_speed
     with_carrier = p.demod == Demod.COHERENT
+    step_seconds = geo.samples_per_step / geo.timf1_sampling_speed
 
     def step(tables: RxTables, state: RxState, block: jax.Array,
              tune_bin: jax.Array) -> tuple[RxState, RxOutputs]:
         s_fft1, fft1_spec, step_power = fft1_step(
             geo, tables.fft1, state.fft1, block, p.fft_avg1num)
-        s_mix1, timf3 = mix1_step(geo, tables.mix1, state.mix1, fft1_spec,
+
+        s_sellim = state.sellim
+        s_timf2 = state.timf2
+        s_fft2 = state.fft2
+        s_blank = state.blanker
+        fft2_power = liminfo_out = n_fit = n_clear = nf_out = None
+
+        if geo.second_fft_enable:
+            # protected passband in fft1-bin coordinates
+            # (selfreq_liminfo, sellim.c:38-116)
+            ratio = geo.fft2_size // geo.fft1_size
+            sel_c = tune_bin // ratio
+            bw_bins = max(
+                1, int(0.7 * (p.filter_high_hz - p.filter_low_hz)
+                       / geo.fft1_bandwidth)) + 3
+            sel_lo = sel_c - bw_bins
+            sel_hi = sel_c + bw_bins
+            avg_p = jnp.sum(s_fft1.sumsq_avg, axis=-1)
+            s_sellim = sellim_ops.update_liminfo(
+                geo, state.sellim, avg_p, p.sellim_maxlevel,
+                sel_lo=sel_lo, sel_hi=sel_hi)
+            wgain, sgain = sellim_ops.liminfo_gains(s_sellim.liminfo)
+            s_timf2, weak, strong, wpwr = timf2_step(
+                geo, tables.timf2_syn, state.timf2, fft1_spec, wgain,
+                sgain)
+            nf = state.blanker.noise_floor
+            n_fit = jnp.int32(0)
+            n_clear = jnp.int32(0)
+            if p.blanker_enable:
+                weak, wpwr, n_fit = blanker_ops.clever_blanker(
+                    weak, wpwr, tables.blanker, nf, p.clever_bln_limit,
+                    blanker_pulsewidth, p.max_pulses_per_block)
+                weak, wpwr, n_clear = blanker_ops.stupid_blanker(
+                    weak, wpwr, nf, p.stupid_bln_limit,
+                    blanker_pulsewidth)
+            s_blank = blanker_ops.update_noise_floor(
+                state.blanker, wpwr, step_seconds)
+            s_fft2, fftx_spec, fft2_power = fft2_step(
+                geo, tables.fft2, state.fft2, weak, strong, p.fft_avg1num)
+            liminfo_out = s_sellim.liminfo
+            nf_out = s_blank.noise_floor
+        else:
+            fftx_spec = fft1_spec
+
+        s_mix1, timf3 = mix1_step(geo, tables.mix1, state.mix1, fftx_spec,
                                   tune_bin)
         s_fft3, fft3_spec = fft3_step(geo, tables.fft3, state.fft3, timf3)
         s_mix2, baseb, carrier = mix2_step(geo, tables.mix2, state.mix2,
@@ -131,11 +208,14 @@ def make_rx_step(geo: Geometry, p: RxParams):
             gain = jnp.ones_like(audio)
         new_state = RxState(fft1=s_fft1, mix1=s_mix1, fft3=s_fft3,
                             mix2=s_mix2, bfo=s_bfo, am=s_am, fm=s_fm,
-                            coh=s_coh, agc=s_agc)
+                            coh=s_coh, agc=s_agc, sellim=s_sellim,
+                            timf2=s_timf2, fft2=s_fft2, blanker=s_blank)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power,
                             fft1_avg_power=s_fft1.sumsq_avg,
-                            agc_gain=gain)
+                            agc_gain=gain, fft2_power=fft2_power,
+                            liminfo=liminfo_out, blanker_fitted=n_fit,
+                            blanker_cleared=n_clear, noise_floor=nf_out)
         return new_state, outputs
 
     return step

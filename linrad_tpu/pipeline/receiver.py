@@ -26,7 +26,12 @@ class Receiver:
         self.geo: Geometry = derive_geometry(params)
         self.tables = RxTables.create(self.geo, params)
         self.state = RxState.create(self.geo)
-        step = make_rx_step(self.geo, params)
+        self.blanker_pulsewidth = 2
+        if self.geo.second_fft_enable:
+            from ..ops.blanker import BlankerTables
+            _, self.blanker_pulsewidth = BlankerTables.create(self.geo)
+        step = make_rx_step(self.geo, params,
+                            blanker_pulsewidth=self.blanker_pulsewidth)
         self._step = jax.jit(step)
         self._tune_bin = jnp.zeros((), jnp.int32)
 
