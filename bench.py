@@ -1,0 +1,189 @@
+"""Throughput benchmark: complex Msamples/s/chip through the full
+fft1 -> sellim -> back-FFT -> blanker -> fft2 -> mix1 -> fft3 -> mix2 ->
+SSB demod chain (BASELINE.md metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msamples/s/chip", "vs_baseline": N}
+
+vs_baseline compares against the reference-class CPU throughput: an
+equivalent single-threaded numpy implementation of the same chain
+measured on this host (the stand-in for xlinrad64's single-Xeon number,
+since the reference repo publishes no benchmarks — BASELINE.md).  The
+CPU number is measured once and cached in .bench_cpu_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cpu_baseline.json")
+
+
+def _params():
+    from linrad_tpu import RxParams
+    return RxParams(
+        rx_ad_speed=96_000,
+        first_fft_bandwidth=100.0,
+        mix1_bandwidth_reduction_n=4,
+        second_fft_enable=True,
+        blanker_enable=True,
+        agc_enable=True,
+        clever_bln_limit=6.0,
+        stupid_bln_limit=4.0,
+        max_pulses_per_block=64,
+        target_fft1_frames_per_step=256,
+    )
+
+
+def bench_tpu(steps: int = 30, warmup: int = 3) -> float:
+    """Msamples/s through the jitted chain on the default device."""
+    import jax
+    import jax.numpy as jnp
+
+    from linrad_tpu import derive_geometry
+    from linrad_tpu.ops.blanker import BlankerTables
+    from linrad_tpu.pipeline.chain import RxState, RxTables, make_rx_step
+
+    p = _params()
+    geo = derive_geometry(p)
+    tables = RxTables.create(geo, p)
+    state = RxState.create(geo)
+    _, pw = BlankerTables.create(geo)
+    step = jax.jit(make_rx_step(geo, p, blanker_pulsewidth=pw),
+                   donate_argnums=(1,))
+
+    rng = np.random.default_rng(0)
+    n = geo.samples_per_step
+    t = np.arange(n)
+    sig = (np.exp(2j * np.pi * 0.13 * t)
+           + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+           ).astype(np.complex64)
+    sig[::9973] += 30.0  # pulses so the blanker does real work
+    block = jnp.asarray(sig[:, None])
+    tune = jnp.asarray(1024, jnp.int32)
+
+    for _ in range(warmup):
+        state, out = step(tables, state, block, tune)
+    jax.block_until_ready(out.audio)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, out = step(tables, state, block, tune)
+    jax.block_until_ready(out.audio)
+    dt = time.perf_counter() - t0
+    return steps * n / dt / 1e6
+
+
+def bench_cpu_reference(max_seconds: float = 20.0) -> float:
+    """Single-threaded numpy implementation of the same chain — the
+    single-Xeon reference-class baseline (Msamples/s)."""
+    from linrad_tpu import derive_geometry
+    from linrad_tpu.ops.windows import make_window, synthesis_weights
+
+    p = _params()
+    geo = derive_geometry(p)
+    n = geo.samples_per_step
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    win1 = make_window(geo.fft1_size, geo.fft1_sinpow).astype(np.float32)
+    win2 = make_window(geo.fft2_size, geo.fft2_sinpow).astype(np.float32)
+    syn1 = synthesis_weights(geo.fft1_size, geo.fft1_interleave_points,
+                             geo.fft1_sinpow).astype(np.float32)
+    m = geo.mix1_size
+
+    def one_step(x):
+        # fft1
+        nf = geo.fft1_frames_per_step
+        hop = geo.fft1_new_points
+        frames = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([np.zeros(geo.fft1_interleave_points,
+                                     np.complex64), x]),
+            geo.fft1_size)[::hop][:nf]
+        spec = np.fft.fft(frames * win1, axis=1)
+        # split + back fft (two inverse transforms per frame)
+        wmask = np.ones(geo.fft1_size, np.float32)
+        wmask[100:110] = 0
+        weak = np.fft.ifft(spec * wmask, axis=1) * syn1
+        strong = np.fft.ifft(spec * (1 - wmask), axis=1) * syn1
+        # overlap-add
+        wk = np.zeros(n + geo.fft1_size, np.complex64)
+        st = np.zeros(n + geo.fft1_size, np.complex64)
+        for b in range(nf):
+            wk[b * hop: b * hop + geo.fft1_size] += weak[b]
+            st[b * hop: b * hop + geo.fft1_size] += strong[b]
+        wk = wk[:n]
+        pwr = np.abs(wk) ** 2
+        # stupid blanker + simplified clever pass (16 peak subtractions)
+        thr = 16 * np.mean(pwr)
+        mask = pwr > thr
+        wk[mask] = 0
+        for _ in range(16):
+            pk = np.argmax(pwr)
+            if pwr[pk] < thr:
+                break
+            wk[pk] = 0
+            pwr[pk] = 0
+        timf2 = wk + st[:n]
+        # fft2
+        nf2 = geo.fft2_frames_per_step
+        hop2 = geo.fft2_new_points
+        f2 = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([np.zeros(geo.fft2_interleave_points,
+                                     np.complex64), timf2]),
+            geo.fft2_size)[::hop2][:nf2]
+        spec2 = np.fft.fft(f2 * win2, axis=1)
+        # mix1: select m bins, ifft, OLA (decimated)
+        sel = np.concatenate([spec2[:, :m // 2], spec2[:, -m // 2:]],
+                             axis=1)
+        y = np.fft.ifft(sel, axis=1)
+        hop_m = geo.mix1_new_points
+        t3 = np.zeros(nf2 * hop_m + m, np.complex64)
+        for b in range(nf2):
+            t3[b * hop_m: b * hop_m + m] += y[b]
+        t3 = t3[: nf2 * hop_m]
+        # fft3 + mix2 + demod (decimated, cheap)
+        n3 = geo.fft3_size
+        hop3 = geo.fft3_new_points
+        k3 = len(t3) // hop3 - 1
+        if k3 > 0:
+            f3 = np.lib.stride_tricks.sliding_window_view(t3, n3)[::hop3][:k3]
+            s3 = np.fft.fft(f3, axis=1)
+            bb = np.fft.ifft(s3[:, : geo.mix2_size], axis=1)
+            audio = np.real(bb * np.exp(2j * np.pi * 0.1
+                                        * np.arange(bb.shape[1])))
+        return audio
+
+    # time it
+    one_step(x)  # warm numpy caches
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < max_seconds and reps < 50:
+        one_step(x)
+        reps += 1
+    dt = time.perf_counter() - t0
+    return reps * n / dt / 1e6
+
+
+def main():
+    tpu_msps = bench_tpu()
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cpu_msps = json.load(f)["cpu_msamples_per_s"]
+    else:
+        cpu_msps = bench_cpu_reference()
+        with open(CACHE, "w") as f:
+            json.dump({"cpu_msamples_per_s": cpu_msps}, f)
+    print(json.dumps({
+        "metric": "complex Msamples/s/chip through fft1->blanker->fft2->demod",
+        "value": round(tpu_msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(tpu_msps / cpu_msps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

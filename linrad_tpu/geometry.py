@@ -228,6 +228,9 @@ def derive_geometry(p: RxParams) -> Geometry:
         constraints.append(fft2_new)
     constraints.append(fft3_new * decim)  # fft3 hop in input-sample units
     base = _lcm(*constraints)
+    # with time-sharding every per-shard chunk must also hold an integer
+    # number of frames at every stage -> step is a multiple of base*shards
+    base *= max(1, p.shards)
     mult = max(1, -(-p.target_fft1_frames_per_step * fft1_new // base))
     samples_per_step = base * mult
 

@@ -1,0 +1,348 @@
+"""Time-block sharded pipeline step.
+
+The wideband hot path (fft1 -> sellim split -> back-FFT -> blankers ->
+fft2 -> mix1), which carries >95% of the FLOPs, is sharded along the
+time axis: device d processes the d-th contiguous slice of each step's
+samples.  Three kinds of cross-shard dependency exist, all nearest-
+neighbour and all carried over ICI with ``lax.ppermute``:
+
+1. **Framing halos**: overlapped analysis frames need the previous
+   shard's tail samples (the fft1/fft2/fft3 interleave, the analog of
+   Linrad's circular-buffer history, buf.c:303-327).
+2. **Overlap-add carries**: inverse-transform reconstruction pushes
+   partial sums into the next shard (timf2/timf3/baseband OLA).
+3. **Global reductions**: power-spectrum averages and blanker noise
+   floors are ``lax.pmean`` across shards (SURVEY.md §7).
+
+The decimated narrowband finale (fft3/mix2/demod/AGC, ~1/decimation of
+the samples) is computed replicated after an ``all_gather`` of the tiny
+timf3 stream — its sequential AGC recurrence then needs no cross-shard
+prefix fixup.  Linrad's equivalent is the single narrowband thread fed
+by all fft1 workers (wcw.c:1240).
+
+Step-level carried state stays replicated (it is a few KB); each step
+updates it from the last shard's values via a masked ``psum``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry import Geometry
+from ..params import Demod, RxParams
+from ..ops import agc as agc_ops
+from ..ops import blanker as blanker_ops
+from ..ops import demod as demod_ops
+from ..ops import sellim as sellim_ops
+from ..ops.fft1 import fft1_step
+from ..ops.fft2 import FFT2State, fft2_step
+from ..ops.fft3 import FFT3State, fft3_step
+from ..ops.framing import frame_stream, overlap_add
+from ..ops.mix1 import Mix1State, mix1_step
+from ..ops.mix2 import mix2_step
+from ..ops.fft1 import FFT1State
+from ..ops.timf2 import Timf2State, timf2_step
+from ..pipeline.chain import RxOutputs, RxState, RxTables
+
+AXIS = "t"
+
+
+def _from_left(x: jax.Array, axis_name: str = AXIS) -> jax.Array:
+    """Value of ``x`` on the left neighbour (shard d-1); zeros on d=0."""
+    d = jax.lax.axis_size(axis_name)
+    perm = [(i, i + 1) for i in range(d - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _pick_last(x: jax.Array, axis_name: str = AXIS) -> jax.Array:
+    """Broadcast the last shard's ``x`` to every shard (replicated)."""
+    d = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.psum(jnp.where(idx == d - 1, x, jnp.zeros_like(x)),
+                        axis_name)
+
+
+def _shard_tail(state_tail: jax.Array, local_block: jax.Array
+                ) -> tuple[jax.Array, jax.Array]:
+    """Per-shard framing tail: left neighbour's chunk end, or the carried
+    state tail on shard 0.  Returns (tail_for_me, new_state_tail)."""
+    ov = state_tail.shape[0]
+    my_end = local_block[-ov:] if ov else local_block[:0]
+    from_left = _from_left(my_end)
+    idx = jax.lax.axis_index(AXIS)
+    tail = jnp.where(idx == 0, state_tail, from_left)
+    new_state_tail = _pick_last(my_end)
+    return tail, new_state_tail
+
+
+def _shard_ola(frames: jax.Array, hop: int, state_carry: jax.Array
+               ) -> tuple[jax.Array, jax.Array]:
+    """Sharded overlap-add: local OLA, then push the trailing partial
+    sums into the right neighbour's head (carry chain)."""
+    ov = state_carry.shape[0]
+    zero = jnp.zeros_like(state_carry)
+    out, carry = overlap_add(frames, hop, zero)
+    incoming = _from_left(carry)
+    idx = jax.lax.axis_index(AXIS)
+    head_add = jnp.where(idx == 0, state_carry, incoming)
+    out = out.at[:ov].add(head_add)
+    new_state_carry = _pick_last(carry)
+    return out, new_state_carry
+
+
+def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
+                         blanker_pulsewidth: int = 2):
+    """Build the sharded step.  Requires every per-shard chunk to hold an
+    integer number of frames at every stage — derive the geometry with
+    ``RxParams(shards=<mesh size>)``."""
+    d = mesh.shape[AXIS]
+    assert geo.fft1_frames_per_step % d == 0, (
+        f"fft1 frames {geo.fft1_frames_per_step} not divisible by mesh "
+        f"size {d}; set RxParams(shards={d})")
+    if geo.second_fft_enable:
+        assert geo.fft2_frames_per_step % d == 0
+    assert geo.fft3_frames_per_step % d == 0
+    fs_bb = geo.baseband_sampling_speed
+    with_carrier = p.demod == Demod.COHERENT
+    step_seconds = geo.samples_per_step / geo.timf1_sampling_speed
+
+    def shard_body(tables: RxTables, state: RxState, block: jax.Array,
+                   tune_bin: jax.Array):
+        # ---- fft1 (sharded frames) ----
+        tail, new_tail = _shard_tail(state.fft1.tail, block)
+        frames, _ = frame_stream(tail, block, geo.fft1_size,
+                                 geo.fft1_new_points)
+        windowed = frames * tables.fft1.window[None, :, None]
+        from ..ops import fft as fftlib
+        spec = fftlib.fft(windowed, axis=1)
+        spec = spec * tables.fft1.filtercorr[None, :, :]
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        step_power = jax.lax.pmean(jnp.mean(power, axis=0), AXIS)
+        alpha = min(1.0, geo.fft1_frames_per_step / max(p.fft_avg1num, 1))
+        sumsq = state.fft1.sumsq_avg * (1 - alpha) + step_power * alpha
+        s_fft1 = FFT1State(tail=new_tail, sumsq_avg=sumsq)
+
+        s_sellim = state.sellim
+        s_timf2 = state.timf2
+        s_fft2 = state.fft2
+        s_blank = state.blanker
+        fft2_power = liminfo_out = nf_out = None
+        n_fit = n_clear = None
+
+        if geo.second_fft_enable:
+            ratio = geo.fft2_size // geo.fft1_size
+            sel_c = tune_bin // ratio
+            bw_bins = max(1, int(0.7 * (p.filter_high_hz - p.filter_low_hz)
+                                 / geo.fft1_bandwidth)) + 3
+            s_sellim = sellim_ops.update_liminfo(
+                geo, state.sellim, jnp.sum(sumsq, axis=-1),
+                p.sellim_maxlevel, sel_lo=sel_c - bw_bins,
+                sel_hi=sel_c + bw_bins)
+            wgain, sgain = sellim_ops.liminfo_gains(s_sellim.liminfo)
+            # back transform local frames; OLA with carry chain
+            gains = jnp.stack([wgain, sgain])
+            masked = spec[None] * gains[:, None, :, None]
+            back = fftlib.ifft(masked, axis=2)
+            bframes = back * tables.timf2_syn[None, None, :, None]
+            weak, wc = _shard_ola(bframes[0], geo.fft1_new_points,
+                                  state.timf2.weak_carry)
+            strong, sc = _shard_ola(bframes[1], geo.fft1_new_points,
+                                    state.timf2.strong_carry)
+            s_timf2 = Timf2State(weak_carry=wc, strong_carry=sc)
+            wpwr = jnp.sum(jnp.real(weak) ** 2 + jnp.imag(weak) ** 2,
+                           axis=-1)
+            nf = state.blanker.noise_floor
+            n_fit = jnp.int32(0)
+            n_clear = jnp.int32(0)
+            if p.blanker_enable:
+                # blankers run shard-locally (pulses are microseconds
+                # long; only pulses straddling a shard edge see reduced
+                # suppression, like Linrad's bounded blanker chunks)
+                weak, wpwr, n_fit = blanker_ops.clever_blanker(
+                    weak, wpwr, tables.blanker, nf, p.clever_bln_limit,
+                    blanker_pulsewidth,
+                    max(1, p.max_pulses_per_block // d))
+                weak, wpwr, n_clear = blanker_ops.stupid_blanker(
+                    weak, wpwr, nf, p.stupid_bln_limit, blanker_pulsewidth)
+                n_fit = jax.lax.psum(n_fit, AXIS)
+                n_clear = jax.lax.psum(n_clear, AXIS)
+            cut = jnp.quantile(wpwr, 0.9)
+            keep = wpwr <= cut
+            local_mean = jnp.sum(jnp.where(keep, wpwr, 0.0)) / jnp.maximum(
+                jnp.sum(keep), 1)
+            mean = jax.lax.pmean(local_mean, AXIS)
+            a_nf = jnp.float32(min(1.0, step_seconds))
+            s_blank = blanker_ops.BlankerState(
+                noise_floor=jnp.maximum(
+                    nf * (1 - a_nf) + mean * a_nf, 1e-20))
+            nf_out = s_blank.noise_floor
+            # fft2 framing over the sharded timf2 stream
+            timf2 = weak + strong
+            tail2, new_tail2 = _shard_tail(state.fft2.tail, timf2)
+            f2, _ = frame_stream(tail2, timf2, geo.fft2_size,
+                                 geo.fft2_new_points)
+            fftx_spec = fftlib.fft(
+                f2 * tables.fft2.window[None, :, None], axis=1)
+            pwr2 = jnp.real(fftx_spec) ** 2 + jnp.imag(fftx_spec) ** 2
+            fft2_power = jax.lax.pmean(jnp.mean(pwr2, axis=0), AXIS)
+            a2 = min(1.0, geo.fft2_frames_per_step / max(p.fft_avg1num, 1))
+            s_fft2 = FFT2State(
+                tail=new_tail2,
+                sumsq_avg=state.fft2.sumsq_avg * (1 - a2) + fft2_power * a2)
+            liminfo_out = s_sellim.liminfo
+            n_fftx_local = geo.fft2_frames_per_step // d
+        else:
+            fftx_spec = spec
+            n_fftx_local = geo.fft1_frames_per_step // d
+
+        # ---- mix1 (sharded frames, shard-offset phase) ----
+        idx = jax.lax.axis_index(AXIS)
+        big_n = geo.fftx_size
+        mask = jnp.uint32(big_n - 1)
+        incr = (tune_bin.astype(jnp.uint32)
+                * jnp.uint32(geo.fftx_new_points)) & mask
+        shard_phase = (state.mix1.phase_idx.astype(jnp.uint32)
+                       + incr * (idx.astype(jnp.uint32)
+                                 * jnp.uint32(n_fftx_local))) & mask
+        local_mix1_state = Mix1State(
+            phase_idx=shard_phase.astype(jnp.int32),
+            ola_carry=jnp.zeros_like(state.mix1.ola_carry))
+        m1, timf3_local = mix1_step(geo, tables.mix1, local_mix1_state,
+                                    fftx_spec, tune_bin)
+        # OLA carry chain for timf3
+        ov3 = geo.mix1_interleave_points
+        incoming = _from_left(m1.ola_carry)
+        head = jnp.where(idx == 0, state.mix1.ola_carry, incoming)
+        timf3_local = timf3_local.at[:ov3].add(head)
+        new_mix1_state = Mix1State(
+            phase_idx=_pick_last(m1.phase_idx),
+            ola_carry=_pick_last(m1.ola_carry))
+
+        # ---- narrowband finale: gather the decimated stream, compute
+        # replicated (it is 1/decimation of the data) ----
+        timf3 = jax.lax.all_gather(timf3_local, AXIS, axis=0,
+                                   tiled=True)
+        s_fft3, fft3_spec = fft3_step(geo, tables.fft3, state.fft3, timf3)
+        s_mix2, baseb, carrier = mix2_step(geo, tables.mix2, state.mix2,
+                                           fft3_spec,
+                                           with_carrier=with_carrier)
+        s_bfo, s_am, s_fm, s_coh = (state.bfo, state.am, state.fm,
+                                    state.coh)
+        if p.demod == Demod.SSB:
+            s_bfo, audio = demod_ops.bfo_ssb(state.bfo, baseb, p.bfo_hz,
+                                             fs_bb)
+        elif p.demod == Demod.AM:
+            s_am, audio = demod_ops.am_detect(state.am, baseb, fs_bb)
+        elif p.demod == Demod.FM:
+            s_fm, audio = demod_ops.fm_detect(state.fm, baseb, fs_bb)
+        elif p.demod == Demod.COHERENT:
+            s_coh, audio_i, _q = demod_ops.coherent_detect(
+                state.coh, baseb, carrier, fs_bb)
+            s_bfo, audio = demod_ops.bfo_ssb(
+                state.bfo, audio_i.astype(jnp.complex64), p.bfo_hz, fs_bb)
+        else:
+            audio = jnp.real(baseb)
+        if p.agc_enable:
+            s_agc, audio, gain = agc_ops.agc(
+                state.agc, audio, fs_bb, p.agc_attack_ms, p.agc_release_ms,
+                p.agc_hang_ms)
+        else:
+            s_agc = state.agc
+            gain = jnp.ones_like(audio)
+
+        new_state = RxState(fft1=s_fft1, mix1=new_mix1_state,
+                            fft3=s_fft3, mix2=s_mix2, bfo=s_bfo, am=s_am,
+                            fm=s_fm, coh=s_coh, agc=s_agc,
+                            sellim=s_sellim, timf2=s_timf2, fft2=s_fft2,
+                            blanker=s_blank)
+        outputs = RxOutputs(audio=audio, baseb=baseb,
+                            fft1_power=step_power, fft1_avg_power=sumsq,
+                            agc_gain=gain, fft2_power=fft2_power,
+                            liminfo=liminfo_out, blanker_fitted=n_fit,
+                            blanker_cleared=n_clear, noise_floor=nf_out)
+        return new_state, outputs
+
+    # everything except the input block is replicated; the block is
+    # sharded along time
+    state_spec = jax.tree_util.tree_map(lambda _: P(), RxState.create(geo))
+    tables_spec = jax.tree_util.tree_map(lambda _: P(),
+                                         RxTables.create(geo, p))
+    out_spec = jax.tree_util.tree_map(
+        lambda _: P(), (RxState.create(geo),
+                        _outputs_struct(geo, p)))
+
+    sharded = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(tables_spec, state_spec, P(AXIS, None), P()),
+        out_specs=out_spec, check_vma=False)
+    return sharded
+
+
+def _outputs_struct(geo: Geometry, p: RxParams):
+    """Zero-filled RxOutputs with the right tree structure for specs."""
+    wide = geo.second_fft_enable
+    z = jnp.zeros(())
+    return RxOutputs(
+        audio=z, baseb=z, fft1_power=z, fft1_avg_power=z, agc_gain=z,
+        fft2_power=z if wide else None,
+        liminfo=z if wide else None,
+        blanker_fitted=z if wide else None,
+        blanker_cleared=z if wide else None,
+        noise_floor=z if wide else None)
+
+
+class ShardedReceiver:
+    """Receiver running one pipeline over a device mesh.
+
+    The host feeds full step blocks; jax shards them along time.  This is
+    the single-pipeline scale-out mode (Linrad master+slaves on one
+    signal, z_NETWORK.txt); for throughput over independent recordings
+    use one Receiver per device instead."""
+
+    def __init__(self, params: RxParams, devices=None):
+        from ..geometry import derive_geometry
+        if devices is None:
+            devices = jax.devices()
+        self.mesh = Mesh(np.array(devices), (AXIS,))
+        d = len(devices)
+        if params.shards != d:
+            params = RxParams(**{**params.__dict__, "shards": d})
+        self.params = params
+        self.geo = derive_geometry(params)
+        self.tables = RxTables.create(self.geo, params)
+        self.state = RxState.create(self.geo)
+        pw = 2
+        if self.geo.second_fft_enable:
+            from ..ops.blanker import BlankerTables
+            _, pw = BlankerTables.create(self.geo)
+        step = make_sharded_rx_step(self.geo, params, self.mesh, pw)
+        self._step = jax.jit(step)
+        self._tune_bin = jnp.zeros((), jnp.int32)
+        self._block_sharding = NamedSharding(self.mesh, P(AXIS, None))
+
+    def tune(self, freq_hz: float) -> None:
+        n = self.geo.fftx_size
+        fs = self.geo.timf1_sampling_speed
+        self._tune_bin = jnp.asarray(
+            int(round(freq_hz / fs * n)) % n, jnp.int32)
+
+    def process_block(self, block) -> RxOutputs:
+        block = jnp.asarray(block, jnp.complex64)
+        if block.ndim == 1:
+            block = block[:, None]
+        block = jax.device_put(block, self._block_sharding)
+        self.state, out = self._step(self.tables, self.state, block,
+                                     self._tune_bin)
+        return out
+
+    def run(self, iq: np.ndarray):
+        if iq.ndim == 1:
+            iq = iq[:, None]
+        s = self.geo.samples_per_step
+        for i in range(iq.shape[0] // s):
+            yield self.process_block(iq[i * s:(i + 1) * s])

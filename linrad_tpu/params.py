@@ -103,6 +103,8 @@ class RxParams:
 
     # --- batching (TPU-specific: frames jitted per pipeline step) ---
     target_fft1_frames_per_step: int = 64
+    shards: int = 1   # time-shards (mesh size); every stage's per-shard
+                      # chunk must hold an integer number of frames
 
     # --- AFC (AG_PARMS analogs, globdef.h:884-899) ---
     afc_enable: bool = False
