@@ -112,6 +112,9 @@ class RxParams:
     afc_fit_points: int = 10
     afc_max_drift_hz: float = 50.0
 
+    # --- spur cancellation (spur.c / spursub.c) ---
+    spur_enable: bool = False
+
     def __post_init__(self):
         if self.rx_rf_channels not in (1, 2):
             raise ValueError("rx_rf_channels must be 1 or 2")

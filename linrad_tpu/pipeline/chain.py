@@ -37,6 +37,7 @@ from ..ops.mix1 import Mix1State, Mix1Tables, mix1_step
 from ..ops.mix2 import Mix2State, Mix2Tables, mix2_step
 from ..ops.sellim import SellimState
 from ..ops.timf2 import Timf2State, make_timf2_syn, timf2_step
+from ..weak.spur import SpurState, spur_subtract_step, window_template
 
 
 @pytree_dataclass(frozen=True)
@@ -48,19 +49,26 @@ class RxTables:
     fft2: FFT2Tables | None
     timf2_syn: jax.Array | None
     blanker: BlankerTables | None
+    spur_template: jax.Array | None
 
     @classmethod
     def create(cls, geo: Geometry, p: RxParams) -> "RxTables":
-        fft2 = timf2_syn = blanker = None
+        fft2 = timf2_syn = blanker = spur_tpl = None
         if geo.second_fft_enable:
             fft2 = FFT2Tables.create(geo)
             timf2_syn = make_timf2_syn(geo)
             blanker, _pw = BlankerTables.create(geo)
+        if p.spur_enable:
+            sinpow = (geo.fft2_sinpow if geo.second_fft_enable
+                      else geo.fft1_sinpow)
+            spur_tpl = jnp.asarray(
+                window_template(geo.fftx_size, sinpow))
         return cls(fft1=FFT1Tables.create(geo),
                    mix1=Mix1Tables.create(geo),
                    fft3=FFT3Tables.create(geo),
                    mix2=Mix2Tables.create(geo, p),
-                   fft2=fft2, timf2_syn=timf2_syn, blanker=blanker)
+                   fft2=fft2, timf2_syn=timf2_syn, blanker=blanker,
+                   spur_template=spur_tpl)
 
 
 @pytree_dataclass
@@ -78,12 +86,14 @@ class RxState:
     timf2: Timf2State | None
     fft2: FFT2State | None
     blanker: BlankerState | None
+    spur: SpurState | None = None
 
     @classmethod
-    def create(cls, geo: Geometry) -> "RxState":
+    def create(cls, geo: Geometry, spur: bool = False) -> "RxState":
         c = geo.channels
         wide = geo.second_fft_enable
         return cls(
+            spur=SpurState.create(geo) if spur else None,
             fft1=FFT1State.create(geo),
             mix1=Mix1State.create(geo),
             fft3=FFT3State.create(geo),
@@ -140,11 +150,15 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
         s_blank = state.blanker
         fft2_power = liminfo_out = n_fit = n_clear = nf_out = None
 
+        # tune_bin may be scalar (fixed tuning) or (n_fftx,) per-frame
+        # (the AFC path, do_mix1_afc mix1.c:648)
+        tune0 = jnp.reshape(tune_bin, (-1,))[0]
+
         if geo.second_fft_enable:
             # protected passband in fft1-bin coordinates
             # (selfreq_liminfo, sellim.c:38-116)
             ratio = geo.fft2_size // geo.fft1_size
-            sel_c = tune_bin // ratio
+            sel_c = tune0 // ratio
             bw_bins = max(
                 1, int(0.7 * (p.filter_high_hz - p.filter_low_hz)
                        / geo.fft1_bandwidth)) + 3
@@ -176,6 +190,11 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
             nf_out = s_blank.noise_floor
         else:
             fftx_spec = fft1_spec
+
+        s_spur = state.spur
+        if p.spur_enable:
+            s_spur, fftx_spec = spur_subtract_step(
+                geo, tables.spur_template, state.spur, fftx_spec)
 
         s_mix1, timf3 = mix1_step(geo, tables.mix1, state.mix1, fftx_spec,
                                   tune_bin)
@@ -209,7 +228,8 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
         new_state = RxState(fft1=s_fft1, mix1=s_mix1, fft3=s_fft3,
                             mix2=s_mix2, bfo=s_bfo, am=s_am, fm=s_fm,
                             coh=s_coh, agc=s_agc, sellim=s_sellim,
-                            timf2=s_timf2, fft2=s_fft2, blanker=s_blank)
+                            timf2=s_timf2, fft2=s_fft2, blanker=s_blank,
+                            spur=s_spur)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power,
                             fft1_avg_power=s_fft1.sumsq_avg,

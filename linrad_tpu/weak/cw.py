@@ -1,0 +1,244 @@
+"""Coherent CW processing and Morse decoding.
+
+TPU-native re-design of the reference's coherent-CW + Morse stack
+(``coherent_cw_detect`` coherent.c:283, ``evaluate_keying_spectrum``
+coherent.c:77, ``detect_cw_speed`` cwspeed.c:577, symbol segmentation
+and decode cwdetect.c:126-160 / morse.c:77-125; method notes
+z_MORSE_DECODING.txt).
+
+The envelope/keying analysis runs on numpy at audio rate (host control
+path — the decode operates on seconds of audio at a few kHz, far from
+the TPU hot loop, exactly like the reference runs it in the narrowband
+idle path).  Stages:
+
+1. Envelope smoothing at ~8x the keying rate.
+2. CW speed from the keying spectrum — the envelope's spectral peak in
+   the plausible keying-rate band (evaluate_keying_spectrum).
+3. Adaptive mark/space threshold between the envelope's low/high modes.
+4. Run-length classification: dot vs dash at 2x the dot length, element
+   / character / word gaps at the standard 1:3:7 weighting.
+5. Character lookup in the Morse table (insert_char, morse.c:77).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+MORSE_TABLE = {
+    ".-": "A", "-...": "B", "-.-.": "C", "-..": "D", ".": "E",
+    "..-.": "F", "--.": "G", "....": "H", "..": "I", ".---": "J",
+    "-.-": "K", ".-..": "L", "--": "M", "-.": "N", "---": "O",
+    ".--.": "P", "--.-": "Q", ".-.": "R", "...": "S", "-": "T",
+    "..-": "U", "...-": "V", ".--": "W", "-..-": "X", "-.--": "Y",
+    "--..": "Z",
+    "-----": "0", ".----": "1", "..---": "2", "...--": "3", "....-": "4",
+    ".....": "5", "-....": "6", "--...": "7", "---..": "8", "----.": "9",
+    ".-.-.-": ".", "--..--": ",", "..--..": "?", "-..-.": "/",
+    "-...-": "=", ".-.-.": "+", "-....-": "-", ".--.-.": "@",
+}
+MORSE_ENCODE = {v: k for k, v in MORSE_TABLE.items()}
+
+
+def smooth_envelope(x: np.ndarray, fs: float,
+                    cutoff_hz: float) -> np.ndarray:
+    """One-pole envelope smoother (the coherent.c averaging)."""
+    from scipy.signal import lfilter
+
+    env = np.abs(x).astype(np.float64)
+    a = np.exp(-2 * np.pi * cutoff_hz / fs)
+    out, _ = lfilter([1 - a], [1, -a], env, zi=[env[0] * a])
+    return out
+
+
+def keying_spectrum(envelope: np.ndarray, fs: float) -> tuple[np.ndarray,
+                                                              np.ndarray]:
+    """Power spectrum of the keying envelope (evaluate_keying_spectrum,
+    coherent.c:77).  Returns (freqs_hz, power)."""
+    e = envelope - envelope.mean()
+    n = len(e)
+    spec = np.abs(np.fft.rfft(e * np.hanning(n))) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    return freqs, spec
+
+
+def _runs(on: np.ndarray) -> list[tuple[bool, int]]:
+    edges = np.flatnonzero(np.diff(on.astype(np.int8)))
+    runs = []
+    prev = 0
+    cur = bool(on[0])
+    for e in edges:
+        runs.append((cur, e + 1 - prev))
+        prev = e + 1
+        cur = not cur
+    runs.append((cur, len(on) - prev))
+    return runs
+
+
+def _debounce(runs: list[tuple[bool, int]], min_len: int
+              ) -> list[tuple[bool, int]]:
+    """Merge runs shorter than min_len into their neighbours (threshold
+    chatter suppression — the reference's region-growing segmentation,
+    cwdetect.c short_region_guesses, serves the same purpose)."""
+    changed = True
+    while changed:
+        changed = False
+        out: list[tuple[bool, int]] = []
+        for state, ln in runs:
+            if out and (out[-1][0] == state or
+                        (ln < min_len and len(out) > 0)):
+                if out[-1][0] == state:
+                    out[-1] = (state, out[-1][1] + ln)
+                else:
+                    out[-1] = (out[-1][0], out[-1][1] + ln)
+                    changed = True
+            else:
+                out.append((state, ln))
+        runs = out
+    return runs
+
+
+def detect_cw_speed(envelope: np.ndarray, fs: float,
+                    min_wpm: float = 5.0, max_wpm: float = 80.0
+                    ) -> float:
+    """CW speed in WPM from mark run-length statistics.
+
+    The reference derives speed from the keying spectrum plus dash/dot
+    correlation over amplitude sequences (detect_cw_speed cwspeed.c:577,
+    find_good_dashes :496).  Run lengths are the robust digital
+    equivalent: marks cluster at 1 dot and 3 dots; a 2-means split of
+    the mark lengths recovers the dot time even for short noisy
+    captures where the keying spectrum is dominated by word structure.
+    """
+    lo = np.percentile(envelope, 15)
+    hi = np.percentile(envelope, 85)
+    if hi <= 1.5 * lo:
+        return 0.0  # no keying contrast
+    on = envelope > 0.5 * (lo + hi)
+    marks = np.array([ln for is_on, ln in _runs(on) if is_on],
+                     np.float64)
+    min_dot = fs * 1.2 / max_wpm / 2
+    marks = marks[marks > min_dot]
+    if len(marks) == 0:
+        return 0.0
+    # 2-means split into dot / dash clusters
+    c_lo, c_hi = marks.min(), marks.max()
+    for _ in range(10):
+        split = 0.5 * (c_lo + c_hi)
+        low = marks[marks <= split]
+        high = marks[marks > split]
+        c_lo = low.mean() if len(low) else c_lo
+        c_hi = high.mean() if len(high) else c_hi
+    if c_hi > 2.0 * c_lo:          # both clusters present
+        dot_n = 0.5 * (c_lo + c_hi / 3.0)
+    else:                          # single cluster: dots or dashes?
+        dot_n = c_lo if c_lo < 2.5 * np.median(marks) else c_lo / 3.0
+    wpm = 1.2 / (dot_n / fs)
+    return float(np.clip(wpm, 0.0, max_wpm * 1.5))
+
+
+@dataclass
+class DecodeResult:
+    text: str
+    wpm: float
+    threshold: float
+    marks: list  # (start_sample, length_samples) of detected marks
+
+
+def decode_morse(audio: np.ndarray, fs: float, wpm_hint: float = 0.0
+                 ) -> DecodeResult:
+    """Decode keyed CW audio (real envelope-bearing signal or complex
+    baseband) to text."""
+    if np.iscomplexobj(audio):
+        env_raw = np.abs(audio)
+    else:
+        # product-detector audio: rectify
+        env_raw = np.abs(audio)
+    # first-pass smoothing for speed detection
+    env0 = smooth_envelope(env_raw, fs, 60.0)
+    wpm = wpm_hint or detect_cw_speed(env0, fs)
+    if wpm <= 0:
+        return DecodeResult("", 0.0, 0.0, [])
+    dot_s = 1.2 / wpm
+    env = smooth_envelope(env_raw, fs, min(4.0 / dot_s, fs * 0.2))
+    # adaptive threshold between the two envelope modes
+    lo = np.percentile(env, 15)
+    hi = np.percentile(env, 85)
+    thr = 0.5 * (lo + hi)
+    on = env > thr
+    dot_n = dot_s * fs
+    runs = _debounce(_runs(on), max(1, int(0.3 * dot_n)))
+    text = []
+    sym = ""
+    marks = []
+    pos = 0
+    for is_on, length in runs:
+        if is_on:
+            marks.append((pos, length))
+            sym += "." if length < 2.0 * dot_n else "-"
+        else:
+            if length >= 5.0 * dot_n:     # word gap (7 dots nominal)
+                if sym:
+                    text.append(MORSE_TABLE.get(sym, "#"))
+                    sym = ""
+                text.append(" ")
+            elif length >= 2.0 * dot_n:   # char gap (3 dots nominal)
+                if sym:
+                    text.append(MORSE_TABLE.get(sym, "#"))
+                    sym = ""
+        pos += length
+    if sym:
+        text.append(MORSE_TABLE.get(sym, "#"))
+    return DecodeResult("".join(text).strip(), wpm, thr, marks)
+
+
+def keyed_cw(text: str, fs: float, wpm: float, tone_hz: float,
+             amplitude: float = 1.0, rise_s: float = 0.005,
+             complex_out: bool = True) -> np.ndarray:
+    """Generate keyed CW (the TX-side do_cw_keying analog, tx.c:658,
+    with rise-time-shaped edges) — also the test vector generator for
+    the decoder."""
+    dot = int(round(1.2 / wpm * fs))
+    key = []
+    for ch in text.upper():
+        if ch == " ":
+            key.extend([0] * (7 * dot))
+            continue
+        code = MORSE_ENCODE.get(ch)
+        if code is None:
+            continue
+        for j, s in enumerate(code):
+            key.extend([1] * (dot if s == "." else 3 * dot))
+            key.extend([0] * dot)
+        key.extend([0] * (2 * dot))  # total 3 dots between chars
+    key = np.array(key, np.float32)
+    # raised-cosine edges
+    r = max(1, int(rise_s * fs))
+    ramp = 0.5 * (1 - np.cos(np.pi * np.arange(r) / r))
+    kernel = np.ones(1)
+    shaped = np.convolve(key, np.concatenate([ramp, ramp[::-1]]) / r,
+                         mode="same") if r > 1 else key
+    shaped = np.clip(shaped, 0, 1)
+    t = np.arange(len(shaped)) / fs
+    if complex_out:
+        return (amplitude * shaped
+                * np.exp(2j * np.pi * tone_hz * t)).astype(np.complex64)
+    return (amplitude * shaped
+            * np.sin(2 * np.pi * tone_hz * t)).astype(np.float32)
+
+
+def coherent_integrate(baseband: np.ndarray, fs: float, dot_s: float,
+                       carrier_phase: np.ndarray | None = None
+                       ) -> np.ndarray:
+    """Coherent (phase-locked) detection: integrate the in-phase
+    component over dot-length windows (coherent_cw_detect,
+    coherent.c:283).  With a carrier phase estimate the noise in the
+    quadrature channel is discarded — the 3 dB coherent gain."""
+    z = baseband
+    if carrier_phase is not None:
+        z = z * np.exp(-1j * carrier_phase)
+    n_dot = max(1, int(round(dot_s * fs / 4)))  # 4 samples per dot
+    n = len(z) // n_dot
+    segs = np.real(z[: n * n_dot]).reshape(n, n_dot)
+    return segs.mean(axis=1)

@@ -1,0 +1,232 @@
+"""Weak-signal layer tests: AFC, spur cancellation, CW/Morse, EME."""
+
+import numpy as np
+import pytest
+
+from linrad_tpu import RxParams
+from linrad_tpu.io.siggen import Tone, tones_iq
+from linrad_tpu.pipeline import Receiver
+from linrad_tpu.utils.llsq import (llsq_fit, mask_tophat_filter,
+                                   parabolic_peak, polyfit_drift)
+from linrad_tpu.weak import eme
+from linrad_tpu.weak.cw import (decode_morse, detect_cw_speed, keyed_cw,
+                                keying_spectrum)
+
+
+class TestLLSQ:
+    def test_polyfit(self):
+        t = np.linspace(0, 10, 50)
+        f = 3.0 + 2.0 * t - 0.1 * t ** 2
+        c = polyfit_drift(t, f, 2)
+        np.testing.assert_allclose(c, [3.0, 2.0, -0.1], atol=1e-8)
+
+    def test_parabolic_peak(self):
+        # samples of y = 5 - (x-0.3)^2 at x = -1, 0, 1
+        y = lambda x: 5 - (x - 0.3) ** 2
+        off, peak = parabolic_peak(y(-1), y(0), y(1))
+        assert off == pytest.approx(0.3, abs=1e-9)
+        assert peak == pytest.approx(5.0, abs=1e-9)
+
+    def test_tophat(self):
+        x = np.zeros(21)
+        x[10] = 7.0
+        s = mask_tophat_filter(7, x)
+        assert s[10] == pytest.approx(1.0)
+        assert s.sum() == pytest.approx(7.0, rel=1e-6)
+
+
+class TestAFC:
+    def _drifting(self, g, fc, drift, steps, amp=0.2, nl=0.05, seed=0):
+        fs = g.rx_ad_speed
+        n = g.samples_per_step * steps
+        t = np.arange(n) / fs
+        rng = np.random.default_rng(seed)
+        return (amp * np.exp(2j * np.pi * (fc * t + 0.5 * drift * t ** 2))
+                + nl * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                ).astype(np.complex64)
+
+    def test_tracks_drifting_carrier(self):
+        p = RxParams(first_fft_bandwidth=30.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     afc_enable=True, filter_low_hz=-150.0,
+                     filter_high_hz=150.0)
+        rx = Receiver(p)
+        g = rx.geo
+        fc, drift = 10_000.0, 2.0
+        rx.tune(fc)
+        iq = self._drifting(g, fc, drift, 20)
+        for _ in rx.run(iq):
+            pass
+        dur = len(iq) / g.rx_ad_speed
+        assert rx.afc.status == 3  # tracking ok (afc_graph.c:374-378)
+        expected = fc + drift * dur
+        assert abs(rx.afc.freq_hz - expected) < 4 * g.fftx_bandwidth
+        assert rx.afc.ston > 8.0
+
+    def test_signal_lost_holds_frequency(self):
+        p = RxParams(first_fft_bandwidth=30.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     afc_enable=True)
+        rx = Receiver(p)
+        g = rx.geo
+        fc = 10_000.0
+        rx.tune(fc)
+        iq = self._drifting(g, fc, 0.0, 8)
+        for _ in rx.run(iq):
+            pass
+        assert rx.afc.status == 3
+        freq_locked = rx.afc.freq_hz
+        # now pure noise
+        rng = np.random.default_rng(9)
+        n = g.samples_per_step * 8
+        noise = (0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                 ).astype(np.complex64)
+        for _ in rx.run(noise):
+            pass
+        assert rx.afc.status == 4  # lost, constant frequency
+        assert abs(rx.afc.freq_hz - freq_locked) < 2 * g.fftx_bandwidth
+
+    def test_audio_stays_on_pitch_while_drifting(self):
+        """The point of AFC: the demodulated tone stays at the BFO pitch
+        while the RF drifts by many bins."""
+        p = RxParams(first_fft_bandwidth=30.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     afc_enable=True, bfo_hz=600.0,
+                     filter_low_hz=-150.0, filter_high_hz=150.0)
+        rx = Receiver(p)
+        g = rx.geo
+        fc, drift = 10_000.0, 2.0
+        rx.tune(fc)
+        iq = self._drifting(g, fc, drift, 24, nl=0.02)
+        audio = np.concatenate(
+            [np.asarray(o.audio) for o in rx.run(iq)])[:, 0]
+        # last quarter: drift ~ many bins, AFC locked
+        a = audio[3 * len(audio) // 4:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        freqs = np.fft.rfftfreq(len(a), 1 / g.baseband_sampling_speed)
+        peak = freqs[np.argmax(spec)]
+        assert abs(peak - 600.0) < 3 * g.fftx_bandwidth, peak
+
+
+class TestSpur:
+    def test_cancels_offchannel_carrier(self):
+        base = dict(first_fft_bandwidth=100.0,
+                    mix1_bandwidth_reduction_n=4, agc_enable=False,
+                    filter_low_hz=-1500.0, filter_high_hz=1500.0)
+        results = {}
+        for spur_on in (False, True):
+            rx = Receiver(RxParams(**base, spur_enable=spur_on))
+            g = rx.geo
+            fs = g.rx_ad_speed
+            rx.tune(12_400.0)  # tuned ON the desired signal
+            f_sig = 12_400.0 - rx.tuned_hz   # true baseband offsets
+            f_spur = 12_900.0 - rx.tuned_hz
+            n = g.samples_per_step * 10
+            rng = np.random.default_rng(0)
+            iq = (tones_iq(fs, n, [Tone(12_400.0, amplitude=0.1)])
+                  + tones_iq(fs, n, [Tone(12_900.0, amplitude=20.0)])
+                  + 0.01 * (rng.normal(size=n) + 1j * rng.normal(size=n)
+                            ).astype(np.complex64))
+            z = np.concatenate(
+                [np.asarray(o.baseb) for o in rx.run(iq)])[:, 0]
+            zz = z[2 * len(z) // 3:]
+            t = np.arange(len(zz)) / g.baseband_sampling_speed
+            pwr = lambda f: abs(np.vdot(np.exp(2j * np.pi * f * t), zz)
+                                / len(zz)) ** 2
+            results[spur_on] = (pwr(f_sig), pwr(f_spur))
+        sig_off, spur_off = results[False]
+        sig_on, spur_on_p = results[True]
+        # spur suppressed by > 20 dB, signal within 3 dB
+        assert 10 * np.log10(spur_off / spur_on_p) > 20.0
+        assert abs(10 * np.log10(sig_on / sig_off)) < 3.0
+
+
+class TestMorse:
+    def test_speed_detection(self):
+        fs = 6000.0
+        for wpm in (12, 20, 35):
+            cw = keyed_cw("PARIS PARIS PARIS PARIS", fs, wpm, 600.0)
+            est = detect_cw_speed(np.abs(cw), fs)
+            assert est == pytest.approx(wpm, rel=0.25), (wpm, est)
+
+    def test_decode_clean(self):
+        fs = 6000.0
+        msg = "CQ TEST DE SM5BSZ K"
+        cw = keyed_cw(msg, fs, 22, 600.0)
+        res = decode_morse(cw, fs)
+        assert res.text == msg
+
+    def test_decode_noisy(self):
+        fs = 6000.0
+        rng = np.random.default_rng(3)
+        msg = "CQ DX"
+        cw = keyed_cw(msg, fs, 18, 600.0)
+        cw = cw + 0.15 * (rng.normal(size=len(cw))
+                          + 1j * rng.normal(size=len(cw)))
+        res = decode_morse(cw, fs)
+        assert res.text == msg
+
+    def test_full_chain_decode(self):
+        """RF keyed CW -> fft1 -> mix1 -> fft3 -> mix2 -> SSB audio ->
+        Morse text (the config-5 weak-signal CW validation path)."""
+        p = RxParams(first_fft_bandwidth=100.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     bfo_hz=700.0, filter_low_hz=-400.0,
+                     filter_high_hz=400.0)
+        rx = Receiver(p)
+        g = rx.geo
+        msg = "CQ CQ DE SM5BSZ"
+        cw = keyed_cw(msg, g.rx_ad_speed, 20, 12_000.0)
+        pad = ((len(cw) // g.samples_per_step + 1) * g.samples_per_step
+               - len(cw))
+        cw = np.concatenate([cw, np.zeros(pad, np.complex64)])
+        rng = np.random.default_rng(1)
+        cw = cw + 0.02 * (rng.normal(size=len(cw))
+                          + 1j * rng.normal(size=len(cw))
+                          ).astype(np.complex64)
+        rx.tune(12_000.0)
+        audio = np.concatenate(
+            [np.asarray(o.audio) for o in rx.run(cw)])[:, 0]
+        res = decode_morse(audio, g.baseband_sampling_speed)
+        assert res.text == msg
+        assert res.wpm == pytest.approx(20, rel=0.2)
+
+
+class TestEME:
+    def test_locator_roundtrip(self):
+        for loc in ("JO89XI", "FN20QR", "RE78IR"):
+            lat, lon = eme.locator_to_latlon(loc)
+            assert eme.latlon_to_locator(lat, lon) == loc
+
+    def test_dist_az(self):
+        # Stockholm JO89 to New York FN30 ~ 6300 km, az ~ 290-300
+        d, az = eme.dist_az(59.3, 17.9, 40.7, -74.0)
+        assert d == pytest.approx(6300, rel=0.05)
+        assert 280 < az < 310
+
+    def test_moon_position_sane(self):
+        # 2026-01-01 00:00 UTC from Stockholm: sanity (ephemeris bounds)
+        t = 1_767_225_600.0
+        md = eme.moon_data(t, 59.3, 17.9)
+        assert 0 <= md.azimuth < 360
+        assert -90 < md.elevation < 90
+        assert 356_000 < md.distance_km < 407_000
+        # EME self doppler at 144 MHz is within +-450 Hz
+        assert abs(md.doppler_hz) < 450
+
+    def test_moon_motion(self):
+        # the Moon moves ~13 deg/day eastward in RA
+        t = 1_767_225_600.0
+        a = eme.moon_data(t, 0.0, 0.0)
+        b = eme.moon_data(t + 86400.0, 0.0, 0.0)
+        dra = (b.ra_deg - a.ra_deg) % 360
+        assert 10 < dra < 17.5  # 11-17 deg/day over the anomalistic month
+
+    def test_keying_spectrum_peak(self):
+        fs = 6000.0
+        cw = keyed_cw("EEEEEEEEEE", fs, 24, 600.0)  # regular dots
+        freqs, spec = keying_spectrum(np.abs(cw), fs)
+        dot = 1.2 / 24
+        f0 = freqs[np.argmax(spec[1:]) + 1]
+        # 'E' stream = 1 dot on + 3 dots gap -> 4-dot period fundamental
+        assert f0 == pytest.approx(1 / (4 * dot), rel=0.2)
