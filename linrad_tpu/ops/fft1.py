@@ -31,10 +31,12 @@ class FFT1Tables:
 
     window: jax.Array        # (fft1_size,) float32
     filtercorr: jax.Array    # (fft1_size, channels) complex64 calibration
+    iq_corr: jax.Array | None = None  # (fft1_size, C) complex64 foldcorr
 
     @classmethod
     def create(cls, geo: Geometry,
-               filtercorr: np.ndarray | None = None) -> "FFT1Tables":
+               filtercorr: np.ndarray | None = None,
+               iq_corr: np.ndarray | None = None) -> "FFT1Tables":
         win = make_window(geo.fft1_size, geo.fft1_sinpow).astype(np.float32)
         if filtercorr is None:
             fc = np.ones((geo.fft1_size, geo.channels), np.complex64)
@@ -42,7 +44,14 @@ class FFT1Tables:
             fc = np.asarray(filtercorr, np.complex64)
             if fc.ndim == 1:
                 fc = fc[:, None]
-        return cls(window=jnp.asarray(win), filtercorr=jnp.asarray(fc))
+        iq = None
+        if iq_corr is not None:
+            iq = np.asarray(iq_corr, np.complex64)
+            if iq.ndim == 1:
+                iq = iq[:, None]
+            iq = jnp.asarray(iq)
+        return cls(window=jnp.asarray(win), filtercorr=jnp.asarray(fc),
+                   iq_corr=iq)
 
 
 @pytree_dataclass
@@ -84,6 +93,12 @@ def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
                                     geo.fft1_new_points)
     windowed = frames * tables.window[None, :, None]
     spec = fftlib.fft(windowed, axis=1, variant=variant)
+    if tables.iq_corr is not None:
+        # I/Q image correction X'[k] = X[k] - c[k]*conj(X[-k])
+        # (expand_foldcorr application, caliq.c:40-80)
+        mirror = jnp.conj(
+            spec[:, (-jnp.arange(geo.fft1_size)) % geo.fft1_size, :])
+        spec = spec - tables.iq_corr[None, :, :] * mirror
     spec = spec * tables.filtercorr[None, :, :]
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     step_power = jnp.mean(power, axis=0)

@@ -52,7 +52,9 @@ class RxTables:
     spur_template: jax.Array | None
 
     @classmethod
-    def create(cls, geo: Geometry, p: RxParams) -> "RxTables":
+    def create(cls, geo: Geometry, p: RxParams,
+               calibration: dict | None = None) -> "RxTables":
+        calibration = calibration or {}
         fft2 = timf2_syn = blanker = spur_tpl = None
         if geo.second_fft_enable:
             fft2 = FFT2Tables.create(geo)
@@ -63,7 +65,9 @@ class RxTables:
                       else geo.fft1_sinpow)
             spur_tpl = jnp.asarray(
                 window_template(geo.fftx_size, sinpow))
-        return cls(fft1=FFT1Tables.create(geo),
+        return cls(fft1=FFT1Tables.create(
+                       geo, filtercorr=calibration.get("filtercorr"),
+                       iq_corr=calibration.get("iq_corr")),
                    mix1=Mix1Tables.create(geo),
                    fft3=FFT3Tables.create(geo),
                    mix2=Mix2Tables.create(geo, p),

@@ -21,10 +21,12 @@ from .chain import RxOutputs, RxState, RxTables, make_rx_step
 
 
 class Receiver:
-    def __init__(self, params: RxParams):
+    def __init__(self, params: RxParams, calibration: dict | None = None):
+        """calibration: optional {'filtercorr': ..., 'iq_corr': ...} from
+        linrad_tpu.calibration (the dsp_<mode>_corr file analog)."""
         self.params = params
         self.geo: Geometry = derive_geometry(params)
-        self.tables = RxTables.create(self.geo, params)
+        self.tables = RxTables.create(self.geo, params, calibration)
         self.state = RxState.create(self.geo, spur=params.spur_enable)
         self.blanker_pulsewidth = 2
         if self.geo.second_fft_enable:
