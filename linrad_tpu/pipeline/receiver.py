@@ -54,6 +54,23 @@ class Receiver:
         if params.spur_enable:
             from ..weak.spur import SpurManager
             self.spur_manager = SpurManager(self.geo)
+        # user-extension hooks — the users_*.c plugin surface
+        # (SURVEY.md §2.13: users_init_mode menu.c:693, users_extra_fast
+        # wcw.c:931-937, hware_command users.c:41):
+        #   "init": fn(receiver)              after construction
+        #   "extra_fast": fn(receiver, out)   every step, before control
+        #   "block": fn(receiver, out)        every step, after control
+        #   "tune": fn(receiver, freq_hz)     on retune
+        self.hooks: dict[str, list] = {"init": [], "extra_fast": [],
+                                       "block": [], "tune": []}
+
+    def add_hook(self, event: str, fn) -> None:
+        """Register a user hook (users_*.c extension API analog)."""
+        self.hooks[event].append(fn)
+
+    def _fire(self, event: str, *args) -> None:
+        for fn in self.hooks.get(event, ()):
+            fn(self, *args)
 
     # ---- tuning -------------------------------------------------------
     def tune(self, freq_hz: float) -> None:
@@ -67,6 +84,7 @@ class Receiver:
             self.afc.status = 0
             self.afc.freq_hz = freq_hz % fs
             self._afc_subbuf.clear()
+        self._fire("tune", freq_hz)
 
     @property
     def tuned_hz(self) -> float:
@@ -87,7 +105,9 @@ class Receiver:
         self.state, out = self._step(self.tables, self.state, block,
                                      self._tune_bin)
         self._steps_done += 1
+        self._fire("extra_fast", out)
         self._control_update(out)
+        self._fire("block", out)
         return out
 
     # ---- host-side weak-signal control (~Hz rate, SURVEY.md §7) -------
