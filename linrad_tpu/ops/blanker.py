@@ -209,14 +209,21 @@ def stupid_blanker(weak: jax.Array, pwr: jax.Array,
     return weak2, pwr2, jnp.sum(cleared.astype(jnp.int32))
 
 
+def despiked_mean(pwr: jax.Array) -> jax.Array:
+    """Mean power excluding pulse outliers: two O(n) passes (mean, then
+    mean of samples below 4x mean) instead of a quantile sort — a sort
+    of the whole step is the single most expensive op on TPU and the
+    threshold only steers a 1-s EMA (buf.c:336-346 semantics)."""
+    m0 = jnp.mean(pwr)
+    keep = pwr <= 4.0 * m0
+    return jnp.sum(jnp.where(keep, pwr, 0.0)) / jnp.maximum(
+        jnp.sum(keep), 1)
+
+
 def update_noise_floor(state: BlankerState, pwr: jax.Array,
                        step_seconds: float) -> BlankerState:
-    """~1 s time-constant despiked noise tracker (buf.c:336-346): average
-    the weak power excluding the top decile so pulses do not bias it."""
-    cut = jnp.quantile(pwr, 0.9)
-    keep = pwr <= cut
-    mean = jnp.sum(jnp.where(keep, pwr, 0.0)) / jnp.maximum(
-        jnp.sum(keep), 1)
+    """~1 s time-constant despiked noise tracker (buf.c:336-346)."""
+    mean = despiked_mean(pwr)
     alpha = jnp.float32(min(1.0, step_seconds))
     nf = state.noise_floor * (1 - alpha) + mean * alpha
     return BlankerState(noise_floor=jnp.maximum(nf, 1e-20))

@@ -29,7 +29,7 @@ from .windows import make_window
 class FFT1Tables:
     """Constant device tables (built once, like get_buffers buf.c:868)."""
 
-    window: jax.Array        # (fft1_size,) float32
+    window: jax.Array        # (fft1_size,) float32 (2*fft1_size if real)
     filtercorr: jax.Array    # (fft1_size, channels) complex64 calibration
     iq_corr: jax.Array | None = None  # (fft1_size, C) complex64 foldcorr
 
@@ -37,7 +37,10 @@ class FFT1Tables:
     def create(cls, geo: Geometry,
                filtercorr: np.ndarray | None = None,
                iq_corr: np.ndarray | None = None) -> "FFT1Tables":
-        win = make_window(geo.fft1_size, geo.fft1_sinpow).astype(np.float32)
+        # real input transforms 2N real samples per frame (the
+        # real-to-complex fold, fft_cntrl real2complex fft1var.c:43-65)
+        wsize = geo.fft1_size if geo.iq_input else 2 * geo.fft1_size
+        win = make_window(wsize, geo.fft1_sinpow).astype(np.float32)
         if filtercorr is None:
             fc = np.ones((geo.fft1_size, geo.channels), np.complex64)
         else:
@@ -63,9 +66,14 @@ class FFT1State:
 
     @classmethod
     def create(cls, geo: Geometry) -> "FFT1State":
+        if geo.iq_input:
+            tail = jnp.zeros((geo.fft1_interleave_points, geo.channels),
+                             jnp.complex64)
+        else:
+            tail = jnp.zeros((2 * geo.fft1_interleave_points,
+                              geo.channels), jnp.float32)
         return cls(
-            tail=jnp.zeros((geo.fft1_interleave_points, geo.channels),
-                           jnp.complex64),
+            tail=tail,
             sumsq_avg=jnp.full((geo.fft1_size, geo.channels), 1e-20,
                                jnp.float32),
         )
@@ -89,10 +97,20 @@ def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
     reformulated as an exponential moving average whose weight matches an
     ``avg1num``-transform boxcar.
     """
-    frames, new_tail = frame_stream(state.tail, block, geo.fft1_size,
-                                    geo.fft1_new_points)
-    windowed = frames * tables.window[None, :, None]
-    spec = fftlib.fft(windowed, axis=1, variant=variant)
+    if geo.iq_input:
+        frames, new_tail = frame_stream(state.tail, block, geo.fft1_size,
+                                        geo.fft1_new_points)
+        windowed = frames * tables.window[None, :, None]
+        spec = fftlib.fft(windowed, axis=1, variant=variant)
+    else:
+        # real mode: 2N real samples -> N-bin one-sided spectrum
+        # (block is (2*samples_per_step, C) float32)
+        frames, new_tail = frame_stream(state.tail, block,
+                                        2 * geo.fft1_size,
+                                        2 * geo.fft1_new_points)
+        windowed = frames * tables.window[None, :, None]
+        spec = jnp.fft.rfft(windowed, axis=1)[:, : geo.fft1_size, :]
+        spec = spec.astype(jnp.complex64)
     if tables.iq_corr is not None:
         # I/Q image correction X'[k] = X[k] - c[k]*conj(X[-k])
         # (expand_foldcorr application, caliq.c:40-80)

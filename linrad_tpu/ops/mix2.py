@@ -51,11 +51,15 @@ def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
     h = np.sin(0.5 * np.pi * h) ** 2  # raised-cosine edge
     if compensate_fqwin:
         # undo the mix1 sin^4 frequency taper inside the passband
-        # (baseb_graph.c:3795-3798); fqwin argument is the mix1 bin offset
-        rel_m1 = freq / geo.timf3_sampling_speed * geo.mix1_size
-        fq = np.cos(np.pi * np.clip(np.abs(rel_m1) / geo.mix1_size, 0,
-                                    0.49)) ** 4
+        # (baseb_graph.c:3795-3798); fqwin argument is the mix1 bin
+        # offset.  The compensation is bounded (~27 dB) and the filter is
+        # forced to zero beyond 90% of the mix1 selection — the outermost
+        # edge is unusable (fqwin -> 0 there, and boosting it amplifies
+        # the overlap-add error floor at the frame-rate harmonics).
+        rel_frac = np.abs(freq) / geo.timf3_sampling_speed  # 0..0.5
+        fq = np.cos(np.pi * np.clip(rel_frac, 0, 0.375)) ** 4
         h = h / np.maximum(fq, 1e-3)
+        h *= rel_frac < 0.45
     return h.astype(np.float32)
 
 

@@ -171,11 +171,7 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                     weak, wpwr, nf, p.stupid_bln_limit, blanker_pulsewidth)
                 n_fit = jax.lax.psum(n_fit, AXIS)
                 n_clear = jax.lax.psum(n_clear, AXIS)
-            cut = jnp.quantile(wpwr, 0.9)
-            keep = wpwr <= cut
-            local_mean = jnp.sum(jnp.where(keep, wpwr, 0.0)) / jnp.maximum(
-                jnp.sum(keep), 1)
-            mean = jax.lax.pmean(local_mean, AXIS)
+            mean = jax.lax.pmean(blanker_ops.despiked_mean(wpwr), AXIS)
             a_nf = jnp.float32(min(1.0, step_seconds))
             s_blank = blanker_ops.BlankerState(
                 noise_floor=jnp.maximum(

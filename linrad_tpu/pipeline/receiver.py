@@ -96,12 +96,18 @@ class Receiver:
 
     # ---- streaming ----------------------------------------------------
     def process_block(self, block) -> RxOutputs:
-        """Process exactly geo.samples_per_step IQ samples (S, C)."""
-        block = jnp.asarray(block, jnp.complex64)
+        """Process one step of input: (samples_per_step, C) complex IQ,
+        or (2*samples_per_step, C) float32 in real-input mode
+        (timf1_sampling_speed is half the A/D rate, buf.c:47-51)."""
+        if self.geo.iq_input:
+            block = jnp.asarray(block, jnp.complex64)
+            expect = self.geo.samples_per_step
+        else:
+            block = jnp.asarray(block, jnp.float32)
+            expect = 2 * self.geo.samples_per_step
         if block.ndim == 1:
             block = block[:, None]
-        assert block.shape == (self.geo.samples_per_step,
-                               self.geo.channels), block.shape
+        assert block.shape == (expect, self.geo.channels), block.shape
         self.state, out = self._step(self.tables, self.state, block,
                                      self._tune_bin)
         self._steps_done += 1
@@ -153,7 +159,8 @@ class Receiver:
         input thread stops at EOF, modesub.c:1022)."""
         if iq.ndim == 1:
             iq = iq[:, None]
-        s = self.geo.samples_per_step
+        s = (self.geo.samples_per_step if self.geo.iq_input
+             else 2 * self.geo.samples_per_step)
         for i in range(iq.shape[0] // s):
             yield self.process_block(iq[i * s:(i + 1) * s])
 
