@@ -126,8 +126,15 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
     ppad = jnp.pad(pwr, (pul, pul))
     active = jnp.pad(jnp.ones(s, bool), (pul, pul))
 
-    def body(_, carry):
-        wpad, ppad, active, nfit = carry
+    def cond(carry):
+        # early exit when nothing above threshold remains (the common
+        # quiet-band case; the reference's scan ends at blnk_pend)
+        i, wpad, ppad, active, nfit = carry
+        any_cand = jnp.max(jnp.where(active, ppad, -1.0)) > thr
+        return (i < max_pulses) & any_cand
+
+    def body(carry):
+        i, wpad, ppad, active, nfit = carry
         cand = jnp.where(active, ppad, -1.0)
         p = jnp.argmax(cand).astype(jnp.int32)
         valid = cand[p] > thr
@@ -173,10 +180,11 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
         retire = jnp.zeros(2 * pw + 1, bool)
         act2 = jax.lax.dynamic_update_slice(active, retire, (p - pw,))
         active2 = jnp.where(valid, act2, active)
-        return wpad2, ppad2, active2, nfit + success.astype(jnp.int32)
+        return (i + 1, wpad2, ppad2, active2,
+                nfit + success.astype(jnp.int32))
 
-    wpad, ppad, _, nfit = jax.lax.fori_loop(
-        0, max_pulses, body, (wpad, ppad, active, jnp.int32(0)))
+    _, wpad, ppad, _, nfit = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), wpad, ppad, active, jnp.int32(0)))
     return wpad[pul: pul + s], ppad[pul: pul + s], nfit
 
 
