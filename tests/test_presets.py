@@ -71,6 +71,7 @@ class TestTwoChannel:
         p = RxParams(rx_rf_channels=2, first_fft_bandwidth=100.0,
                      mix1_bandwidth_reduction_n=4, agc_enable=False,
                      second_fft_enable=True, blanker_enable=True,
+                     clever_bln_limit=6.0, stupid_bln_limit=4.0,
                      target_fft1_frames_per_step=16)
         rx = Receiver(p)
         g = rx.geo
