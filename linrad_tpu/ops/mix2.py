@@ -29,8 +29,8 @@ from .windows import synthesis_weights
 
 
 def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
-              edge_hz: float = 0.0, compensate_fqwin: bool = True
-              ) -> np.ndarray:
+              edge_hz: float = 0.0, compensate_fqwin: bool = True,
+              notches: tuple = ()) -> np.ndarray:
     """Baseband filter in shifted mix2-bin order (the make_bg_filter
     analog, reference baseb_graph.c:1246).
 
@@ -60,6 +60,13 @@ def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
         fq = np.cos(np.pi * np.clip(rel_frac, 0, 0.375)) ** 4
         h = h / np.maximum(fq, 1e-3)
         h *= rel_frac < 0.45
+    for nf, nw in notches or ():
+        # user notch filters (the bg notch controls, baseb_graph.c):
+        # raised-cosine rejection of width nw centred at nf
+        d = np.abs(freq - nf)
+        h *= np.where(d < nw, np.sin(0.5 * np.pi
+                                     * np.clip(d / max(nw, 1e-9), 0, 1)
+                                     ) ** 2, 1.0)
     return h.astype(np.float32)
 
 
@@ -72,7 +79,8 @@ class Mix2Tables:
     @classmethod
     def create(cls, geo: Geometry, p: RxParams,
                coh_factor: float = 8.0) -> "Mix2Tables":
-        filt = bg_filter(geo, p.filter_low_hz, p.filter_high_hz)
+        filt = bg_filter(geo, p.filter_low_hz, p.filter_high_hz,
+                         notches=p.notches)
         # carrier filter: bg.coh_factor x narrower, centred on the BFO
         # (mix2.c:246-262)
         width = (p.filter_high_hz - p.filter_low_hz) / (2.0 * coh_factor)

@@ -87,6 +87,15 @@ class RxParams:
     agc_enable: bool = True
     filter_low_hz: float = -1500.0     # baseband passband (user-drawn filter analog)
     filter_high_hz: float = 1500.0
+    notches: tuple = ()                # ((freq_hz, width_hz), ...) baseband notches
+
+    # --- squelch (update_squelch fft3.c:87; gate applied in rxout) ---
+    squelch_enable: bool = False
+    squelch_ratio: float = 4.0         # open when inband S/N exceeds this
+    squelch_tc_ms: float = 50.0        # gate smoothing time constant
+
+    # --- audio expander (the mix2 expander; downward expansion) ---
+    expander_exponent: float = 1.0     # 1 = off; >1 expands below ref level
 
     # --- noise blanker (hg.* hires-graph params, blank1.c) ---
     blanker_enable: bool = False

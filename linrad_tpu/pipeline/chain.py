@@ -36,6 +36,7 @@ from ..ops.fft3 import FFT3State, FFT3Tables, fft3_step
 from ..ops.mix1 import Mix1State, Mix1Tables, mix1_step
 from ..ops.mix2 import Mix2State, Mix2Tables, mix2_step
 from ..ops.sellim import SellimState
+from ..ops.squelch import SquelchState, expander, squelch_step
 from ..ops.timf2 import Timf2State, make_timf2_syn, timf2_step
 from ..weak.spur import SpurState, spur_subtract_step, window_template
 
@@ -91,6 +92,7 @@ class RxState:
     fft2: FFT2State | None
     blanker: BlankerState | None
     spur: SpurState | None = None
+    squelch: SquelchState | None = None
 
     @classmethod
     def create(cls, geo: Geometry, spur: bool = False) -> "RxState":
@@ -98,6 +100,7 @@ class RxState:
         wide = geo.second_fft_enable
         return cls(
             spur=SpurState.create(geo) if spur else None,
+            squelch=SquelchState.create(),
             fft1=FFT1State.create(geo),
             mix1=Mix1State.create(geo),
             fft3=FFT3State.create(geo),
@@ -229,11 +232,18 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
         else:
             s_agc = state.agc
             gain = jnp.ones_like(audio)
+        if p.expander_exponent > 1.0:
+            audio = expander(audio, p.expander_exponent)
+        s_squelch = state.squelch
+        if p.squelch_enable:
+            s_squelch, audio, _open = squelch_step(
+                geo, state.squelch, fft3_spec, tables.mix2.filt,
+                p.squelch_ratio, p.squelch_tc_ms, audio)
         new_state = RxState(fft1=s_fft1, mix1=s_mix1, fft3=s_fft3,
                             mix2=s_mix2, bfo=s_bfo, am=s_am, fm=s_fm,
                             coh=s_coh, agc=s_agc, sellim=s_sellim,
                             timf2=s_timf2, fft2=s_fft2, blanker=s_blank,
-                            spur=s_spur)
+                            spur=s_spur, squelch=s_squelch)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power,
                             fft1_avg_power=s_fft1.sumsq_avg,
