@@ -126,15 +126,12 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
     ppad = jnp.pad(pwr, (pul, pul))
     active = jnp.pad(jnp.ones(s, bool), (pul, pul))
 
-    def cond(carry):
-        # early exit when nothing above threshold remains (the common
-        # quiet-band case; the reference's scan ends at blnk_pend)
-        i, wpad, ppad, active, nfit = carry
-        any_cand = jnp.max(jnp.where(active, ppad, -1.0)) > thr
-        return (i < max_pulses) & any_cand
-
-    def body(carry):
-        i, wpad, ppad, active, nfit = carry
+    def body(i, carry):
+        # iterations after the last candidate are masked no-ops (`valid`
+        # below) — a while_loop early exit would save them, but this
+        # backend does not execute while_loop+dynamic-update bodies, and
+        # a masked no-op iteration costs only one reduction pass
+        wpad, ppad, active, nfit = carry
         cand = jnp.where(active, ppad, -1.0)
         p = jnp.argmax(cand).astype(jnp.int32)
         valid = cand[p] > thr
@@ -180,11 +177,10 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
         retire = jnp.zeros(2 * pw + 1, bool)
         act2 = jax.lax.dynamic_update_slice(active, retire, (p - pw,))
         active2 = jnp.where(valid, act2, active)
-        return (i + 1, wpad2, ppad2, active2,
-                nfit + success.astype(jnp.int32))
+        return wpad2, ppad2, active2, nfit + success.astype(jnp.int32)
 
-    _, wpad, ppad, _, nfit = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), wpad, ppad, active, jnp.int32(0)))
+    wpad, ppad, _, nfit = jax.lax.fori_loop(
+        0, max_pulses, body, (wpad, ppad, active, jnp.int32(0)))
     return wpad[pul: pul + s], ppad[pul: pul + s], nfit
 
 

@@ -96,10 +96,16 @@ def _shard_ola(frames: jax.Array, hop: int, state_carry: jax.Array
 
 
 def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
-                         blanker_pulsewidth: int = 2):
+                         blanker_pulsewidth: int = 2,
+                         per_frame_tune: bool = False):
     """Build the sharded step.  Requires every per-shard chunk to hold an
     integer number of frames at every stage — derive the geometry with
-    ``RxParams(shards=<mesh size>)``."""
+    ``RxParams(shards=<mesh size>)``.
+
+    With ``per_frame_tune`` the tune argument is a (fftx_frames_per_step,)
+    array sharded along frames (the AFC mix1_fq_mid path); the mixer
+    phase offset of each shard is the wrapped sum of all earlier shards'
+    increments (exclusive prefix over the gathered per-shard sums)."""
     d = mesh.shape[AXIS]
     assert geo.fft1_frames_per_step % d == 0, (
         f"fft1 frames {geo.fft1_frames_per_step} not divisible by mesh "
@@ -136,7 +142,15 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
 
         if geo.second_fft_enable:
             ratio = geo.fft2_size // geo.fft1_size
-            sel_c = tune_bin // ratio
+            if per_frame_tune:
+                # global first frame's bin (shard 0's first element)
+                tune0 = jax.lax.psum(
+                    jnp.where(jax.lax.axis_index(AXIS) == 0,
+                              jnp.reshape(tune_bin, (-1,))[0], 0),
+                    AXIS)
+            else:
+                tune0 = tune_bin
+            sel_c = tune0 // ratio
             bw_bins = max(1, int(0.7 * (p.filter_high_hz - p.filter_low_hz)
                                  / geo.fft1_bandwidth)) + 3
             s_sellim = sellim_ops.update_liminfo(
@@ -200,11 +214,22 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
         idx = jax.lax.axis_index(AXIS)
         big_n = geo.fftx_size
         mask = jnp.uint32(big_n - 1)
-        incr = (tune_bin.astype(jnp.uint32)
-                * jnp.uint32(geo.fftx_new_points)) & mask
-        shard_phase = (state.mix1.phase_idx.astype(jnp.uint32)
-                       + incr * (idx.astype(jnp.uint32)
-                                 * jnp.uint32(n_fftx_local))) & mask
+        hop32 = jnp.uint32(geo.fftx_new_points)
+        if per_frame_tune:
+            # tune_bin: (n_local,) — exclusive prefix of per-shard
+            # increment sums gives each shard's phase offset
+            local_incr_sum = jnp.sum(
+                (tune_bin.astype(jnp.uint32) * hop32) & mask)
+            sums = jax.lax.all_gather(local_incr_sum, AXIS)   # (D,)
+            before = jnp.sum(jnp.where(
+                jnp.arange(sums.shape[0]) < idx, sums, jnp.uint32(0)))
+            shard_phase = (state.mix1.phase_idx.astype(jnp.uint32)
+                           + before) & mask
+        else:
+            incr = (tune_bin.astype(jnp.uint32) * hop32) & mask
+            shard_phase = (state.mix1.phase_idx.astype(jnp.uint32)
+                           + incr * (idx.astype(jnp.uint32)
+                                     * jnp.uint32(n_fftx_local))) & mask
         local_mix1_state = Mix1State(
             phase_idx=shard_phase.astype(jnp.int32),
             ola_carry=jnp.zeros_like(state.mix1.ola_carry))
@@ -250,12 +275,21 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
         else:
             s_agc = state.agc
             gain = jnp.ones_like(audio)
+        from ..ops.squelch import expander, squelch_step
+        if p.expander_exponent > 1.0:
+            audio = expander(audio, p.expander_exponent)
+        s_squelch = state.squelch
+        if p.squelch_enable:
+            s_squelch, audio, _open = squelch_step(
+                geo, state.squelch, fft3_spec, tables.mix2.filt,
+                p.squelch_ratio, p.squelch_tc_ms, audio)
 
         new_state = RxState(fft1=s_fft1, mix1=new_mix1_state,
                             fft3=s_fft3, mix2=s_mix2, bfo=s_bfo, am=s_am,
                             fm=s_fm, coh=s_coh, agc=s_agc,
                             sellim=s_sellim, timf2=s_timf2, fft2=s_fft2,
-                            blanker=s_blank)
+                            blanker=s_blank, spur=state.spur,
+                            squelch=s_squelch)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power, fft1_avg_power=sumsq,
                             agc_gain=gain, fft2_power=fft2_power,
@@ -265,16 +299,18 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
 
     # everything except the input block is replicated; the block is
     # sharded along time
-    state_spec = jax.tree_util.tree_map(lambda _: P(), RxState.create(geo))
+    state_spec = jax.tree_util.tree_map(
+        lambda _: P(), RxState.create(geo, spur=p.spur_enable))
     tables_spec = jax.tree_util.tree_map(lambda _: P(),
                                          RxTables.create(geo, p))
     out_spec = jax.tree_util.tree_map(
-        lambda _: P(), (RxState.create(geo),
+        lambda _: P(), (RxState.create(geo, spur=p.spur_enable),
                         _outputs_struct(geo, p)))
 
+    tune_spec = P(AXIS) if per_frame_tune else P()
     sharded = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(tables_spec, state_spec, P(AXIS, None), P()),
+        in_specs=(tables_spec, state_spec, P(AXIS, None), tune_spec),
         out_specs=out_spec, check_vma=False)
     return sharded
 
@@ -311,29 +347,44 @@ class ShardedReceiver:
         self.params = params
         self.geo = derive_geometry(params)
         self.tables = RxTables.create(self.geo, params)
-        self.state = RxState.create(self.geo)
+        self.state = RxState.create(self.geo, spur=params.spur_enable)
         pw = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables
             _, pw = BlankerTables.create(self.geo)
-        step = make_sharded_rx_step(self.geo, params, self.mesh, pw)
-        self._step = jax.jit(step)
+        self._step = jax.jit(
+            make_sharded_rx_step(self.geo, params, self.mesh, pw))
+        # AFC path: separate compilation with a per-frame-sharded tune
+        self._step_afc = jax.jit(
+            make_sharded_rx_step(self.geo, params, self.mesh, pw,
+                                 per_frame_tune=True))
         self._tune_bin = jnp.zeros((), jnp.int32)
         self._block_sharding = NamedSharding(self.mesh, P(AXIS, None))
+        self._tune_sharding = NamedSharding(self.mesh, P(AXIS))
+        from ..pipeline.control import WeakSignalControl
+        self.control = WeakSignalControl(self.geo, params)
 
     def tune(self, freq_hz: float) -> None:
         n = self.geo.fftx_size
         fs = self.geo.timf1_sampling_speed
         self._tune_bin = jnp.asarray(
             int(round(freq_hz / fs * n)) % n, jnp.int32)
+        self.control.on_tune(freq_hz)
 
     def process_block(self, block) -> RxOutputs:
         block = jnp.asarray(block, jnp.complex64)
         if block.ndim == 1:
             block = block[:, None]
         block = jax.device_put(block, self._block_sharding)
-        self.state, out = self._step(self.tables, self.state, block,
-                                     self._tune_bin)
+        if self._tune_bin.ndim:  # per-frame AFC tuning
+            tune = jax.device_put(self._tune_bin, self._tune_sharding)
+            self.state, out = self._step_afc(self.tables, self.state,
+                                             block, tune)
+        else:
+            self.state, out = self._step(self.tables, self.state, block,
+                                         self._tune_bin)
+        self._tune_bin, self.state = self.control.update(
+            out, self._tune_bin, self.state)
         return out
 
     def run(self, iq: np.ndarray):

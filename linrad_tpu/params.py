@@ -146,6 +146,7 @@ class RxParams:
         d = json.loads(text)
         d["input_mode"] = InputMode(d["input_mode"])
         d["demod"] = Demod(d["demod"])
+        d["notches"] = tuple(tuple(n) for n in d.get("notches", ()))
         return cls(**d)
 
 

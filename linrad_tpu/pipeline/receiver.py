@@ -36,24 +36,11 @@ class Receiver:
                             blanker_pulsewidth=self.blanker_pulsewidth)
         self._step = jax.jit(step)
         self._tune_bin = jnp.zeros((), jnp.int32)
-        self._steps_done = 0
         self._step_seconds = (self.geo.samples_per_step
                               / self.geo.timf1_sampling_speed)
         # host-side weak-signal controllers (SURVEY.md §7: ~Hz control)
-        self.afc = None
-        self._afc_subbuf: list = []
-        if params.afc_enable:
-            from ..weak.afc import AFCConfig, AFCTracker
-            self.afc = AFCTracker(
-                self.geo,
-                AFCConfig(fit_points=params.afc_fit_points,
-                          max_drift_hz_per_s=max(
-                              params.afc_max_drift_hz / 10.0, 0.5)))
-        self.spur_manager = None
-        self._spur_scan_interval = 4
-        if params.spur_enable:
-            from ..weak.spur import SpurManager
-            self.spur_manager = SpurManager(self.geo)
+        from .control import WeakSignalControl
+        self.control = WeakSignalControl(self.geo, params)
         # user-extension hooks — the users_*.c plugin surface
         # (SURVEY.md §2.13: users_init_mode menu.c:693, users_extra_fast
         # wcw.c:931-937, hware_command users.c:41):
@@ -80,10 +67,7 @@ class Receiver:
         fs = self.geo.timf1_sampling_speed
         bin_idx = int(round(freq_hz / fs * n)) % n
         self._tune_bin = jnp.asarray(bin_idx, jnp.int32)
-        if self.afc is not None:
-            self.afc.status = 0
-            self.afc.freq_hz = freq_hz % fs
-            self._afc_subbuf.clear()
+        self.control.on_tune(freq_hz)
         self._fire("tune", freq_hz)
 
     @property
@@ -110,48 +94,28 @@ class Receiver:
         assert block.shape == (expect, self.geo.channels), block.shape
         self.state, out = self._step(self.tables, self.state, block,
                                      self._tune_bin)
-        self._steps_done += 1
         self._fire("extra_fast", out)
-        self._control_update(out)
+        self._tune_bin, self.state = self.control.update(
+            out, self._tune_bin, self.state)
         self._fire("block", out)
         return out
 
-    # ---- host-side weak-signal control (~Hz rate, SURVEY.md §7) -------
-    def _control_update(self, out) -> None:
-        geo = self.geo
-        if self.afc is not None:
-            power = np.sum(np.asarray(
-                out.fft2_power if geo.second_fft_enable
-                else out.fft1_power), axis=-1)
-            now = self._steps_done * self._step_seconds
-            if self.afc.status in (0, 1):
-                self._afc_subbuf.append(power)
-                if len(self._afc_subbuf) >= 4:
-                    self.afc.acquire(np.stack(self._afc_subbuf),
-                                     self.afc.freq_hz,
-                                     self._step_seconds)
-                    self._afc_subbuf.clear()
-            else:
-                self.afc.update(power, now)
-            if self.afc.status in (2, 3, 4):
-                bins = self.afc.frame_bins(now + self._step_seconds,
-                                           geo.fftx_frames_per_step)
-                self._tune_bin = jnp.asarray(bins)
-        if (self.spur_manager is not None
-                and self._steps_done % self._spur_scan_interval == 0):
-            import dataclasses as _dc
-            avg = np.sum(np.asarray(
-                out.fft2_power if geo.second_fft_enable
-                else out.fft1_avg_power), axis=-1)
-            # protect only the tuned signal itself (a few template widths)
-            # — in-passband spurs are exactly what the canceller is for
-            # (spur.c auto-search covers the whole spectrum)
-            c = int(np.reshape(np.asarray(self._tune_bin), (-1,))[0])
-            guard = 7
-            new_spur = self.spur_manager.scan(
-                avg, self.state.spur, protect_lo=c - guard,
-                protect_hi=c + guard)
-            self.state = _dc.replace(self.state, spur=new_spur)
+    # back-compat accessors for the control sub-objects
+    @property
+    def afc(self):
+        return self.control.afc
+
+    @property
+    def spur_manager(self):
+        return self.control.spur_manager
+
+    @property
+    def _steps_done(self) -> int:
+        return self.control.steps_done
+
+    @_steps_done.setter
+    def _steps_done(self, v: int) -> None:
+        self.control.steps_done = v
 
     def run(self, iq: np.ndarray, progress: bool = False):
         """Stream an arbitrary-length recording; yields RxOutputs per

@@ -79,6 +79,32 @@ class TestShardedWideband:
         assert rel < 0.05, rel
 
 
+class TestShardedAFC:
+    def test_tracks_drift_across_mesh(self):
+        """Per-frame AFC tuning in the sharded step: the mixer phase
+        offsets are exclusive-prefix sums of per-shard increments."""
+        p = RxParams(**_base(afc_enable=True, first_fft_bandwidth=30.0,
+                             filter_low_hz=-150.0, filter_high_hz=150.0))
+        srx = ShardedReceiver(p)
+        g = srx.geo
+        fs = g.rx_ad_speed
+        fc, drift = 10_000.0, 2.0
+        srx.tune(fc)
+        n = g.samples_per_step * 16
+        t = np.arange(n) / fs
+        rng = np.random.default_rng(0)
+        iq = (0.3 * np.exp(2j * np.pi * (fc * t + 0.5 * drift * t * t))
+              + 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+              ).astype(np.complex64)
+        audio = np.concatenate(
+            [np.asarray(o.audio) for o in srx.run(iq)])[:, 0]
+        assert srx.control.afc.status == 3
+        a = audio[3 * len(audio) // 4:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        fr = np.fft.rfftfreq(len(a), 1 / g.baseband_sampling_speed)
+        assert abs(fr[np.argmax(spec)] - p.bfo_hz) < 3 * g.fftx_bandwidth
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
