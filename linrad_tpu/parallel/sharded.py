@@ -155,7 +155,8 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                                  / geo.fft1_bandwidth)) + 3
             s_sellim = sellim_ops.update_liminfo(
                 geo, state.sellim, jnp.sum(sumsq, axis=-1),
-                p.sellim_maxlevel, sel_lo=sel_c - bw_bins,
+                p.sellim_maxlevel, ston=p.sellim_ston,
+                sel_lo=sel_c - bw_bins,
                 sel_hi=sel_c + bw_bins)
             wgain, sgain = sellim_ops.liminfo_gains(s_sellim.liminfo)
             # back transform local frames; OLA with carry chain

@@ -106,6 +106,7 @@ class RxParams:
     # --- selective limiter (HG_SELLIM_PAR*, globdef.h:618-626) ---
     sellim_maxlevel: float = 8.0       # strong-signal threshold factor (sellim.c:783-786)
     sellim_smooth: float = 0.2         # new-gain smoothing weight (sellim.c:810-814)
+    sellim_ston: float = 30.0          # carrier-vs-floor ratio (hg.blanker_ston_fft1)
 
     # --- spectrum averaging ---
     fft_avg1num: int = 8               # fft1 power spectrum averaging count

@@ -174,7 +174,7 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
             avg_p = jnp.sum(s_fft1.sumsq_avg, axis=-1)
             s_sellim = sellim_ops.update_liminfo(
                 geo, state.sellim, avg_p, p.sellim_maxlevel,
-                sel_lo=sel_lo, sel_hi=sel_hi)
+                ston=p.sellim_ston, sel_lo=sel_lo, sel_hi=sel_hi)
             wgain, sgain = sellim_ops.liminfo_gains(s_sellim.liminfo)
             s_timf2, weak, strong, wpwr = timf2_step(
                 geo, tables.timf2_syn, state.timf2, fft1_spec, wgain,
