@@ -1,0 +1,60 @@
+"""Tap publishing + format export tests (master/slave distributed op)."""
+
+import numpy as np
+import pytest
+
+from linrad_tpu import RxParams
+from linrad_tpu.io import taps
+from linrad_tpu.io.publish import (TapPublisher, export_perseus_wav,
+                                   export_spectravue_wav)
+from linrad_tpu.io.siggen import Tone, tones_iq
+from linrad_tpu.io.wav import read_wav
+from linrad_tpu.pipeline import Receiver
+
+
+class TestPublisher:
+    def test_receiver_publishes_audio_tap(self):
+        try:
+            rx_net = taps.TapReceiver(taps.TAP_BASEB, timeout=2.0)
+            pub = TapPublisher({taps.TAP_BASEB: "audio"})
+        except OSError:
+            pytest.skip("multicast unavailable")
+        p = RxParams(fft1_n_override=9, agc_enable=False,
+                     target_fft1_frames_per_step=16)
+        rx = Receiver(p)
+        pub.attach(rx)
+        g = rx.geo
+        rx.tune(10_000.0)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 2,
+                      [Tone(10_200.0)])
+        audio = np.concatenate(
+            [np.asarray(o.audio) for o in rx.run(iq)])
+        n_bytes = (audio.size * 4 // taps.PAYLOAD_BYTES
+                   ) * taps.PAYLOAD_BYTES
+        got = rx_net.recv_array(n_bytes, np.float32)
+        if not np.any(got):
+            pytest.skip("multicast loopback not routed")
+        # received stream matches the head of the published audio
+        np.testing.assert_allclose(got[:1000],
+                                   audio.reshape(-1)[:1000], rtol=1e-6)
+        pub.close()
+        rx_net.close()
+
+
+class TestExports:
+    def test_spectravue(self, tmp_path):
+        iq = (np.ones((512, 1)) * (0.2 - 0.1j)).astype(np.complex64) * 1000
+        path = str(tmp_path / "sv.wav")
+        export_spectravue_wav(path, iq, 196_078, 14_100_000)
+        back, info = read_wav(path)
+        assert info.auxi.center_freq == 14_100_000
+        assert info.auxi.ad_frequency == 196_078
+
+    def test_perseus(self, tmp_path):
+        iq = (np.ones((512, 1)) * (0.1 + 0.3j)).astype(np.complex64) * 1e5
+        path = str(tmp_path / "p.wav")
+        export_perseus_wav(path, iq, 250_000, 144_125_000)
+        back, info = read_wav(path)
+        assert info.rcvr.center_frequency_hz == 144_125_000
+        assert info.rcvr.sampling_rate_idx == 1
+        assert info.bits == 24
