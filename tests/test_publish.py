@@ -34,9 +34,15 @@ class TestPublisher:
         got = rx_net.recv_array(n_bytes, np.float32)
         if not np.any(got):
             pytest.skip("multicast loopback not routed")
-        # received stream matches the head of the published audio
-        np.testing.assert_allclose(got[:1000],
-                                   audio.reshape(-1)[:1000], rtol=1e-6)
+        # early packets can be lost to the multicast-join race; align on
+        # the first received value and verify a long exact run
+        flat = audio.reshape(-1).astype(np.float32)
+        starts = np.flatnonzero(flat == got[0])
+        assert len(starts), "received data not found in published audio"
+        matched = any(
+            np.array_equal(flat[s: s + 500], got[:500])
+            for s in starts if s + 500 <= len(flat))
+        assert matched
         pub.close()
         rx_net.close()
 
