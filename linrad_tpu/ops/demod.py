@@ -63,11 +63,13 @@ def am_detect(state: AMState, baseb: jax.Array, fs: float,
 
 @pytree_dataclass
 class FMState:
-    last: jax.Array  # (C,) complex64 — previous baseband sample
+    last: jax.Array    # (C,) complex64 — previous baseband sample
+    deemph: jax.Array  # (C,) float32 — de-emphasis filter carry
 
     @classmethod
     def create(cls, channels: int) -> "FMState":
-        return cls(last=jnp.ones((channels,), jnp.complex64))
+        return cls(last=jnp.ones((channels,), jnp.complex64),
+                   deemph=jnp.zeros((channels,), jnp.float32))
 
 
 def fm_detect(state: FMState, baseb: jax.Array, fs: float,
@@ -79,7 +81,16 @@ def fm_detect(state: FMState, baseb: jax.Array, fs: float,
     prod = baseb * jnp.conj(prev)
     audio = jnp.arctan2(jnp.imag(prod), jnp.real(prod))
     audio = audio * jnp.float32(fs / (2.0 * jnp.pi * deviation_hz))
-    return FMState(last=baseb[-1]), audio
+    return FMState(last=baseb[-1], deemph=state.deemph), audio
+
+
+def fm_deemphasis(audio: jax.Array, fs: float, tau_us: float,
+                  y0: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Standard FM de-emphasis one-pole (the pilot/de-emphasis handling
+    of the reference FM path, fm.c): tau 50 us (EU) / 75 us (US).
+    Returns (audio, carry)."""
+    a = jnp.exp(-1.0 / (fs * tau_us * 1e-6)).astype(jnp.float32)
+    return one_pole(audio, a, y0, axis=0)
 
 
 @pytree_dataclass

@@ -211,6 +211,20 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
             fftx_spec = spec
             n_fftx_local = geo.fft1_frames_per_step // d
 
+        # ---- spur cancellation (replicated over gathered spectra: the
+        # per-frame model recurrence chains across shard boundaries, and
+        # the spectra are small after decim-relevant sizes; ~1 MB on ICI)
+        s_spur = state.spur
+        if p.spur_enable:
+            from ..weak.spur import spur_subtract_step
+            full_spec = jax.lax.all_gather(fftx_spec, AXIS, axis=0,
+                                           tiled=True)
+            s_spur, full_clean = spur_subtract_step(
+                geo, tables.spur_template, state.spur, full_spec)
+            fftx_spec = jax.lax.dynamic_slice_in_dim(
+                full_clean, jax.lax.axis_index(AXIS) * n_fftx_local,
+                n_fftx_local, 0)
+
         # ---- mix1 (sharded frames, shard-offset phase) ----
         idx = jax.lax.axis_index(AXIS)
         big_n = geo.fftx_size
@@ -262,6 +276,10 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
             s_am, audio = demod_ops.am_detect(state.am, baseb, fs_bb)
         elif p.demod == Demod.FM:
             s_fm, audio = demod_ops.fm_detect(state.fm, baseb, fs_bb)
+            if p.fm_deemphasis_us > 0:
+                audio, de_last = demod_ops.fm_deemphasis(
+                    audio, fs_bb, p.fm_deemphasis_us, s_fm.deemph)
+                s_fm = demod_ops.FMState(last=s_fm.last, deemph=de_last)
         elif p.demod == Demod.COHERENT:
             s_coh, audio_i, _q = demod_ops.coherent_detect(
                 state.coh, baseb, carrier, fs_bb)
@@ -289,7 +307,7 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                             fft3=s_fft3, mix2=s_mix2, bfo=s_bfo, am=s_am,
                             fm=s_fm, coh=s_coh, agc=s_agc,
                             sellim=s_sellim, timf2=s_timf2, fft2=s_fft2,
-                            blanker=s_blank, spur=state.spur,
+                            blanker=s_blank, spur=s_spur,
                             squelch=s_squelch)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power, fft1_avg_power=sumsq,

@@ -94,6 +94,9 @@ class RxParams:
     squelch_ratio: float = 4.0         # open when inband S/N exceeds this
     squelch_tc_ms: float = 50.0        # gate smoothing time constant
 
+    # --- FM extras (fm.c de-emphasis / pilot path) ---
+    fm_deemphasis_us: float = 0.0      # 0 = off; 50 (EU) / 75 (US)
+
     # --- audio expander (the mix2 expander; downward expansion) ---
     expander_exponent: float = 1.0     # 1 = off; >1 expands below ref level
 

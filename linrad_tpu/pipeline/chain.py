@@ -217,6 +217,10 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
             s_am, audio = demod_ops.am_detect(state.am, baseb, fs_bb)
         elif p.demod == Demod.FM:
             s_fm, audio = demod_ops.fm_detect(state.fm, baseb, fs_bb)
+            if p.fm_deemphasis_us > 0:
+                audio, de_last = demod_ops.fm_deemphasis(
+                    audio, fs_bb, p.fm_deemphasis_us, s_fm.deemph)
+                s_fm = demod_ops.FMState(last=s_fm.last, deemph=de_last)
         elif p.demod == Demod.COHERENT:
             s_coh, audio_i, _audio_q = demod_ops.coherent_detect(
                 state.coh, baseb, carrier, fs_bb)

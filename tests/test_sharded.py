@@ -105,6 +105,43 @@ class TestShardedAFC:
         assert abs(fr[np.argmax(spec)] - p.bfo_hz) < 3 * g.fftx_bandwidth
 
 
+class TestShardedSpur:
+    def test_cancels_like_single_device(self):
+        base = dict(first_fft_bandwidth=100.0,
+                    mix1_bandwidth_reduction_n=4, agc_enable=False,
+                    filter_low_hz=-1500.0, filter_high_hz=1500.0)
+        from linrad_tpu.io.siggen import Tone, tones_iq as _tones
+        results = {}
+        iq = None
+        for spur_on in (False, True):
+            rx = ShardedReceiver(RxParams(**base, spur_enable=spur_on))
+            g = rx.geo
+            rx.tune(12_400.0)
+            tuned = (int(np.asarray(rx._tune_bin))
+                     * g.timf1_sampling_speed / g.fftx_size)
+            if iq is None:
+                rng = np.random.default_rng(0)
+                n = g.samples_per_step * 10
+                iq = (_tones(g.rx_ad_speed, n,
+                             [Tone(12_400.0, amplitude=0.1)])
+                      + _tones(g.rx_ad_speed, n,
+                               [Tone(12_900.0, amplitude=20.0)])
+                      + 0.01 * (rng.normal(size=n)
+                                + 1j * rng.normal(size=n)
+                                ).astype(np.complex64))
+            z = np.concatenate(
+                [np.asarray(o.baseb) for o in rx.run(iq)])[:, 0]
+            zz = z[2 * len(z) // 3:]
+            t = np.arange(len(zz)) / g.baseband_sampling_speed
+            pwr = lambda f: abs(np.vdot(np.exp(2j * np.pi * f * t), zz)
+                                / len(zz)) ** 2
+            results[spur_on] = (pwr(12_400.0 - tuned),
+                                pwr(12_900.0 - tuned))
+        assert 10 * np.log10(results[False][1] / results[True][1]) > 20
+        assert abs(10 * np.log10(results[True][0]
+                                 / results[False][0])) < 3
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
