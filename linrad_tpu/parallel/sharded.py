@@ -26,8 +26,6 @@ updates it from the last shard's values via a masked ``psum``.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,14 +37,13 @@ from ..ops import agc as agc_ops
 from ..ops import blanker as blanker_ops
 from ..ops import demod as demod_ops
 from ..ops import sellim as sellim_ops
-from ..ops.fft1 import fft1_step
-from ..ops.fft2 import FFT2State, fft2_step
-from ..ops.fft3 import FFT3State, fft3_step
+from ..ops.fft2 import FFT2State
+from ..ops.fft3 import fft3_step
 from ..ops.framing import frame_stream, overlap_add
 from ..ops.mix1 import Mix1State, mix1_step
 from ..ops.mix2 import mix2_step
 from ..ops.fft1 import FFT1State
-from ..ops.timf2 import Timf2State, timf2_step
+from ..ops.timf2 import Timf2State
 from ..pipeline.chain import RxOutputs, RxState, RxTables
 
 AXIS = "t"

@@ -14,7 +14,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..utils.llsq import mask_tophat_filter
 
 
 @dataclass

@@ -15,7 +15,6 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-import numpy as np
 
 C_LIGHT = 299_792.458  # km/s
 RAD = math.pi / 180.0

@@ -27,7 +27,6 @@ import numpy as np
 
 from ..geometry import Geometry
 from ..utils.pytree import pytree_dataclass
-from .. import geometry as _geometry
 from ..ops.windows import make_window
 
 MAX_SPURS = 16      # MAX_NO_OF_SPURS analog (static shape)
