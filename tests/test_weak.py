@@ -166,6 +166,33 @@ class TestMorse:
         res = decode_morse(cw, fs)
         assert res.text == msg
 
+    def test_weak_signal_decode(self):
+        """Matched-filter decode at +4 dB in-filter SNR: mostly correct
+        (cwdetect.c-style matched filtering; a plain envelope threshold
+        fails completely here)."""
+        import difflib
+        p = RxParams(first_fft_bandwidth=30.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     bfo_hz=600.0, filter_low_hz=-150.0,
+                     filter_high_hz=150.0)
+        rx = Receiver(p)
+        g = rx.geo
+        msg = "CQ DX DE SM5BSZ"
+        cw = keyed_cw(msg, g.rx_ad_speed, 15, 12_000.0, amplitude=0.05)
+        pad = (-len(cw)) % g.samples_per_step
+        rng = np.random.default_rng(1)
+        cw = np.concatenate([cw, np.zeros(pad, np.complex64)])
+        cw = cw + 0.4 * (rng.normal(size=len(cw))
+                         + 1j * rng.normal(size=len(cw))
+                         ).astype(np.complex64)
+        rx.tune(12_000.0)
+        audio = np.concatenate(
+            [np.asarray(o.audio) for o in rx.run(cw)])[:, 0]
+        res = decode_morse(audio, g.baseband_sampling_speed)
+        sim = difflib.SequenceMatcher(None, res.text, msg).ratio()
+        assert sim > 0.8, (res.text, sim)
+        assert res.wpm == pytest.approx(15, rel=0.15)
+
     def test_full_chain_decode(self):
         """RF keyed CW -> fft1 -> mix1 -> fft3 -> mix2 -> SSB audio ->
         Morse text (the config-5 weak-signal CW validation path)."""
