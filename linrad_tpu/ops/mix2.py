@@ -99,9 +99,11 @@ class Mix2State:
 
     @classmethod
     def create(cls, geo: Geometry) -> "Mix2State":
+        # two independent buffers (a shared array breaks donation)
         ov = geo.mix2_size - geo.mix2_new_points
-        z = jnp.zeros((ov, geo.channels), jnp.complex64)
-        return cls(ola_carry=z, carr_ola_carry=z)
+        return cls(ola_carry=jnp.zeros((ov, geo.channels), jnp.complex64),
+                   carr_ola_carry=jnp.zeros((ov, geo.channels),
+                                            jnp.complex64))
 
 
 def _branch(geo: Geometry, spectra, filt, syn, carry, variant):

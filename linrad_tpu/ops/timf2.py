@@ -35,9 +35,10 @@ class Timf2State:
 
     @classmethod
     def create(cls, geo: Geometry) -> "Timf2State":
-        z = jnp.zeros((geo.fft1_interleave_points, geo.channels),
-                      jnp.complex64)
-        return cls(weak_carry=z, strong_carry=z)
+        # two independent buffers (a shared array breaks donation)
+        shape = (geo.fft1_interleave_points, geo.channels)
+        return cls(weak_carry=jnp.zeros(shape, jnp.complex64),
+                   strong_carry=jnp.zeros(shape, jnp.complex64))
 
 
 def make_timf2_syn(geo: Geometry) -> jax.Array:
