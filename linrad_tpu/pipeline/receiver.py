@@ -21,9 +21,13 @@ from .chain import RxOutputs, RxState, RxTables, make_rx_step
 
 
 class Receiver:
-    def __init__(self, params: RxParams, calibration: dict | None = None):
+    def __init__(self, params: RxParams, calibration: dict | None = None,
+                 audio_out_rate: float | None = None):
         """calibration: optional {'filtercorr': ..., 'iq_corr': ...} from
-        linrad_tpu.calibration (the dsp_<mode>_corr file analog)."""
+        linrad_tpu.calibration (the dsp_<mode>_corr file analog).
+        audio_out_rate: resample audio to this rate (the rx_output D/A
+        resampler, rxout.c:266); must give an integer output count per
+        step (exact rational, ops/resample.py)."""
         self.params = params
         self.geo: Geometry = derive_geometry(params)
         self.tables = RxTables.create(self.geo, params, calibration)
@@ -41,6 +45,16 @@ class Receiver:
         # host-side weak-signal controllers (SURVEY.md §7: ~Hz control)
         from .control import WeakSignalControl
         self.control = WeakSignalControl(self.geo, params)
+        # optional audio-rate conversion (rx_output resampler analog)
+        self.audio_out_rate = audio_out_rate
+        self._resampler = None
+        self._resampler_state = None
+        if audio_out_rate:
+            from ..ops.resample import Resampler
+            self._resampler = Resampler(
+                self.geo.baseband_sampling_speed, audio_out_rate,
+                self.geo.baseband_samples_per_step, self.geo.channels)
+            self._resampler_state = self._resampler.init_state()
         # user-extension hooks — the users_*.c plugin surface
         # (SURVEY.md §2.13: users_init_mode menu.c:693, users_extra_fast
         # wcw.c:931-937, hware_command users.c:41):
@@ -94,6 +108,11 @@ class Receiver:
         assert block.shape == (expect, self.geo.channels), block.shape
         self.state, out = self._step(self.tables, self.state, block,
                                      self._tune_bin)
+        if self._resampler is not None:
+            self._resampler_state, resampled = self._resampler(
+                self._resampler_state, out.audio)
+            import dataclasses as _dc
+            out = _dc.replace(out, audio=resampled)
         self._fire("extra_fast", out)
         self._tune_bin, self.state = self.control.update(
             out, self._tune_bin, self.state)
@@ -127,6 +146,54 @@ class Receiver:
              else 2 * self.geo.samples_per_step)
         for i in range(iq.shape[0] // s):
             yield self.process_block(iq[i * s:(i + 1) * s])
+
+    def run_file(self, path: str):
+        """Stream a .wav recording through the native file prefetcher
+        (runtime ring buffer + background reader — the
+        THREAD_RX_FILE_INPUT analog, SURVEY.md §3.5): disk I/O overlaps
+        device compute.  Yields RxOutputs per step."""
+        from ..io.wav import read_wav
+        from .. import runtime
+
+        # parse the header once to learn the layout, then stream the
+        # payload through the prefetcher
+        import struct as _s
+        with open(path, "rb") as f:
+            riff = f.read(12)
+            if riff[:4] != b"RIFF":
+                raise ValueError(f"{path}: not a WAV")
+            fmt = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    raise ValueError(f"{path}: missing data chunk")
+                cid, csize = _s.unpack("<4sI", hdr)
+                if cid == b"fmt ":
+                    fmt = f.read(csize)
+                elif cid == b"data":
+                    data_off = f.tell()
+                    break
+                else:
+                    f.seek(csize + (csize & 1), 1)
+        (wformat, nch, rate, _br, _al, bits) = _s.unpack("<HHIIHH",
+                                                         fmt[:16])
+        if bits != 16 or nch != 2 * self.geo.channels:
+            # uncommon layouts fall back to the simple reader
+            iq, _info = read_wav(path)
+            yield from self.run(iq)
+            return
+        frame_bytes = 2 * nch
+        s = self.geo.samples_per_step
+        pf = runtime.FilePrefetcher(path, block_bytes=s * frame_bytes,
+                                    offset=data_off)
+        while True:
+            raw = pf.read_block()
+            if len(raw) < s * frame_bytes:
+                break
+            x = np.frombuffer(raw, "<i2").astype(np.float32).reshape(
+                s, nch)
+            iq = (x[:, 0::2] + 1j * x[:, 1::2]).astype(np.complex64)
+            yield self.process_block(iq)
 
     def process(self, iq: np.ndarray) -> dict[str, np.ndarray]:
         """Convenience: process a whole recording, concatenate outputs."""
