@@ -194,3 +194,100 @@ def mutual_doppler(unix_s: float, lat1: float, lon1: float, lat2: float,
     _, _, db2 = moon_topocentric(unix_s + dt, lat2, lon2)
     rate = (db1 - da1) / dt + (db2 - da2) / dt
     return -rate / C_LIGHT * freq_hz
+
+
+# ---------------------------------------------------------------------------
+# DX callsign database (DXDATA globdef.h:849-855, read_eme_database
+# eme.c:996, wildcard call search eme.c:262-309).  The reference stores
+# packed fixed-width records; here it is a plain text file
+# "CALL LOCATOR" or "CALL LAT LON", one station per line.
+
+
+@dataclass
+class DxStation:
+    call: str
+    lat: float
+    lon: float
+
+    @property
+    def locator(self) -> str:
+        return latlon_to_locator(self.lat, self.lon)
+
+
+class DxDatabase:
+    """Callsign database feeding the EME displays.
+
+    ``match`` reproduces the reference's search semantics: ``?`` is a
+    single-character wildcard and a query shorter than a call matches
+    as a prefix (eme.c:262-309 suggested_calls loop)."""
+
+    def __init__(self, stations: list[DxStation] | None = None):
+        self.stations = list(stations or [])
+
+    @classmethod
+    def load(cls, path: str) -> "DxDatabase":
+        stations = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split("#", 1)[0].split()
+                if not parts:
+                    continue
+                call = parts[0].upper()
+                if len(parts) == 2:      # CALL LOCATOR
+                    lat, lon = locator_to_latlon(parts[1])
+                elif len(parts) >= 3:    # CALL LAT LON
+                    lat, lon = float(parts[1]), float(parts[2])
+                else:
+                    continue
+                stations.append(DxStation(call, lat, lon))
+        return cls(stations)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            for s in self.stations:
+                f.write(f"{s.call} {s.lat:.4f} {s.lon:.4f}\n")
+
+    def add(self, call: str, locator: str | None = None,
+            lat: float | None = None, lon: float | None = None) -> None:
+        if locator is not None:
+            lat, lon = locator_to_latlon(locator)
+        self.stations.append(DxStation(call.upper(), float(lat),
+                                       float(lon)))
+
+    def match(self, query: str) -> list[DxStation]:
+        """All stations matching the (possibly wildcarded) query."""
+        q = query.upper()
+        out = []
+        for s in self.stations:
+            if len(q) > len(s.call):
+                continue
+            if all(qc == "?" or qc == cc for qc, cc in zip(q, s.call)):
+                out.append(s)
+        return out
+
+    def lookup(self, call: str) -> DxStation:
+        for s in self.stations:
+            if s.call == call.upper():
+                return s
+        raise KeyError(call)
+
+    def report(self, call: str, unix_s: float, own_lat: float,
+               own_lon: float, freq_hz: float = 144_100_000.0) -> dict:
+        """Mutual EME geometry for one DX station (the self/DX moon
+        position display, eme.c)."""
+        dx = self.lookup(call)
+        own = moon_data(unix_s, own_lat, own_lon, freq_hz)
+        theirs = moon_data(unix_s, dx.lat, dx.lon, freq_hz)
+        km, az = dist_az(own_lat, own_lon, dx.lat, dx.lon)
+        return {
+            "call": dx.call,
+            "locator": dx.locator,
+            "distance_km": km,
+            "azimuth_deg": az,
+            "own_moon": own,
+            "dx_moon": theirs,
+            "mutual_doppler_hz": mutual_doppler(
+                unix_s, own_lat, own_lon, dx.lat, dx.lon, freq_hz),
+            "window_open": own.elevation > 0.0
+                           and theirs.elevation > 0.0,
+        }

@@ -249,6 +249,39 @@ class TestEME:
         dra = (b.ra_deg - a.ra_deg) % 360
         assert 10 < dra < 17.5  # 11-17 deg/day over the anomalistic month
 
+    def test_dx_database(self, tmp_path):
+        # DXDATA analog (globdef.h:849-855, wildcard search eme.c:262)
+        db = eme.DxDatabase()
+        db.add("SM5BSZ", locator="JO89IP")
+        db.add("W5UN", lat=33.2, lon=-95.6)
+        db.add("SM5FRH", locator="JO89XX")
+        assert [s.call for s in db.match("SM5???")] == ["SM5BSZ",
+                                                       "SM5FRH"]
+        assert [s.call for s in db.match("?5")] == ["W5UN"]
+        assert db.match("SM5BSZX") == []
+        # text-file persistence, both entry syntaxes
+        p = tmp_path / "dxdata"
+        db.save(str(p))
+        with open(p, "a") as f:
+            f.write("K1JT FN20QI  # comment\n")
+        db2 = eme.DxDatabase.load(str(p))
+        assert db2.lookup("k1jt").locator == "FN20QI"
+        assert db2.lookup("SM5BSZ").locator == "JO89IP"
+
+    def test_dx_report_mutual(self):
+        # both-end geometry consistent: mutual doppler of a station
+        # with itself equals the self-echo doppler
+        db = eme.DxDatabase()
+        db.add("SELF", lat=59.3, lon=18.0)
+        t = 1_767_225_600.0
+        r = db.report("SELF", t, 59.3, 18.0)
+        own = r["own_moon"]
+        assert r["dx_moon"].elevation == pytest.approx(own.elevation)
+        assert r["mutual_doppler_hz"] == pytest.approx(own.doppler_hz,
+                                                       rel=0.05)
+        assert r["distance_km"] == pytest.approx(0.0, abs=1.0)
+        assert r["window_open"] == (own.elevation > 0)
+
     def test_keying_spectrum_peak(self):
         fs = 6000.0
         cw = keyed_cw("EEEEEEEEEE", fs, 24, 600.0)  # regular dots
