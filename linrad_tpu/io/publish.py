@@ -80,3 +80,26 @@ def export_perseus_wav(path: str, iq: np.ndarray, sample_rate: int,
     rc = RcvrChunk(center_frequency_hz=int(center_freq_hz),
                    sampling_rate_idx=rate_idx)
     write_wav(path, iq, sample_rate, bits=bits, rcvr=rc)
+
+
+def export_powersdr_wav(path: str, iq: np.ndarray, sample_rate: int,
+                        full_scale: float = 32768.0) -> None:
+    """Write a PowerSDR-compatible WAV: 32-bit IEEE float samples
+    normalized to +-1 (sim2powersdr.c:295 divides by 0x7fffffff)."""
+    from .wav import write_wav
+
+    write_wav(path, np.asarray(iq) / full_scale, sample_rate, bits=32)
+
+
+def export_qs1r_wav(path: str, iq: np.ndarray, sample_rate: int,
+                    center_freq_hz: int = 0,
+                    full_scale: float = 32768.0) -> None:
+    """Write a QS1R-compatible WAV: 32-bit integer PCM with the
+    Perseus ``rcvr`` chunk preserved (sim2qs1r.c:224 widens 16/24-bit
+    input to 32-bit int and copies the hardware chunks)."""
+    from .wav import RcvrChunk, write_wav
+
+    scaled = np.asarray(iq) * (2147483647.0 / full_scale)
+    rc = RcvrChunk(center_frequency_hz=int(center_freq_hz),
+                   sampling_rate_idx=0)
+    write_wav(path, scaled, sample_rate, bits=32, pcm32=True, rcvr=rc)

@@ -162,9 +162,12 @@ def read_wav(path: str, return_iq: bool = True
 
 def write_wav(path: str, data: np.ndarray, sample_rate: int,
               bits: int = 16, rcvr: RcvrChunk | None = None,
-              auxi: AuxiChunk | None = None) -> None:
+              auxi: AuxiChunk | None = None,
+              pcm32: bool = False) -> None:
     """Write PCM or float WAV; complex input is interleaved to I/Q channel
-    pairs (the inverse of :func:`read_wav`)."""
+    pairs (the inverse of :func:`read_wav`).  bits=32 writes IEEE float
+    (format 3) unless ``pcm32`` selects 32-bit integer PCM (format 1,
+    the QS1R capture layout, sim2qs1r.c:224)."""
     if np.iscomplexobj(data):
         if data.ndim == 1:
             data = data[:, None]
@@ -179,6 +182,10 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int,
         payload = np.clip(np.round(data), -32768, 32767).astype("<i2"
                                                                ).tobytes()
         wformat, block = 1, 2 * nch
+    elif bits == 32 and pcm32:
+        payload = np.clip(np.round(data), -(1 << 31),
+                          (1 << 31) - 1).astype("<i4").tobytes()
+        wformat, block = 1, 4 * nch
     elif bits == 32:
         payload = data.astype("<f4").tobytes()
         wformat, block = 3, 4 * nch

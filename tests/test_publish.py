@@ -6,6 +6,7 @@ import pytest
 from linrad_tpu import RxParams
 from linrad_tpu.io import taps
 from linrad_tpu.io.publish import (TapPublisher, export_perseus_wav,
+                                   export_powersdr_wav, export_qs1r_wav,
                                    export_spectravue_wav)
 from linrad_tpu.io.siggen import Tone, tones_iq
 from linrad_tpu.io.wav import read_wav
@@ -62,3 +63,25 @@ class TestExports:
         assert info.rcvr.center_frequency_hz == 144_125_000
         assert info.rcvr.sampling_rate_idx == 1
         assert info.bits == 24
+
+    def test_powersdr(self, tmp_path):
+        # sim2powersdr.c: float32 WAV normalized to +-1
+        iq = (np.full((256, 1), 16384 + 8192j)).astype(np.complex64)
+        path = str(tmp_path / "ps.wav")
+        export_powersdr_wav(path, iq, 96_000)
+        back, info = read_wav(path)
+        assert info.bits == 32
+        np.testing.assert_allclose(back[:, 0].real, 0.5, rtol=1e-6)
+        np.testing.assert_allclose(back[:, 0].imag, 0.25, rtol=1e-6)
+
+    def test_qs1r(self, tmp_path):
+        # sim2qs1r.c: 32-bit int PCM, rcvr chunk preserved
+        iq = (np.full((256, 1), 16384 - 16384j)).astype(np.complex64)
+        path = str(tmp_path / "qs.wav")
+        export_qs1r_wav(path, iq, 250_000, center_freq_hz=7_050_000)
+        back, info = read_wav(path)
+        assert info.bits == 32
+        assert info.rcvr.center_frequency_hz == 7_050_000
+        # int32 full scale maps back to +-0.5 of int32 range
+        np.testing.assert_allclose(back[:, 0].real / 2147483647.0, 0.5,
+                                   rtol=1e-6)
