@@ -97,6 +97,20 @@ def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
     reformulated as an exponential moving average whose weight matches an
     ``avg1num``-transform boxcar.
     """
+    if geo.iq_input and variant == "pallas" and tables.iq_corr is None:
+        # fully fused Pallas kernel: window + DFT + calibration + power
+        # (fft1_b + fft1_c in one VMEM-resident pass, ops/pallas_fft.py)
+        from .pallas_fft import fused_fft1
+        frames, new_tail = frame_stream(state.tail, block, geo.fft1_size,
+                                        geo.fft1_new_points)
+        spec, psum = fused_fft1(frames, tables.window, tables.filtercorr)
+        step_power = psum / geo.fft1_frames_per_step
+        alpha = min(1.0, geo.fft1_frames_per_step / max(avg1num, 1))
+        sumsq = state.sumsq_avg * (1.0 - alpha) + step_power * alpha
+        return (FFT1State(tail=new_tail, sumsq_avg=sumsq), spec,
+                step_power)
+    if variant == "pallas":  # real mode / iq_corr: no fused path
+        variant = None
     if geo.iq_input:
         frames, new_tail = frame_stream(state.tail, block, geo.fft1_size,
                                         geo.fft1_new_points)

@@ -116,6 +116,10 @@ class RxParams:
 
     # --- batching (TPU-specific: frames jitted per pipeline step) ---
     target_fft1_frames_per_step: int = 64
+    # fft1 kernel variant (the fft1_version[] analog, fft1var.c:74-79):
+    # None = auto (mxu/xla by size), "xla", "mxu", or "pallas" (fused
+    # window+DFT+calibration+power kernel, ops/pallas_fft.py)
+    fft1_variant: str | None = None
     shards: int = 1   # time-shards (mesh size); every stage's per-shard
                       # chunk must hold an integer number of frames
 

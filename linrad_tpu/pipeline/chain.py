@@ -149,7 +149,8 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
     def step(tables: RxTables, state: RxState, block: jax.Array,
              tune_bin: jax.Array) -> tuple[RxState, RxOutputs]:
         s_fft1, fft1_spec, step_power = fft1_step(
-            geo, tables.fft1, state.fft1, block, p.fft_avg1num)
+            geo, tables.fft1, state.fft1, block, p.fft_avg1num,
+            variant=p.fft1_variant)
 
         s_sellim = state.sellim
         s_timf2 = state.timf2
