@@ -57,6 +57,38 @@ def _matmul_fft(x: jax.Array, inverse: bool) -> jax.Array:
     return jax.lax.complex(yr, yi)
 
 
+@functools.lru_cache(maxsize=16)
+def _twiddle(n1: int, n2: int, inverse: bool) -> np.ndarray:
+    sign = 2.0 if inverse else -2.0
+    ang = sign * np.pi * np.outer(np.arange(n1), np.arange(n2)) / (n1 * n2)
+    return np.exp(1j * ang).astype(np.complex64)
+
+
+def _four_step_fft(x: jax.Array, inverse: bool) -> jax.Array:
+    """Bailey four-step DFT: N = N1·N2 as two batched matmul DFTs.
+
+    Keeps the MXU path viable far beyond the direct (N, N)-matrix size:
+    cost drops from O(N²) to O(N·(N1+N2)) per transform while every
+    FLOP stays a dense matmul.  With n = n1·N2 + n2 and k = k1 + N1·k2:
+
+        X[k1 + N1·k2] = Σ_{n2} W_{N2}^{n2·k2} · W_N^{n2·k1}
+                          · Σ_{n1} x[n1·N2 + n2] · W_{N1}^{n1·k1}
+    """
+    n = x.shape[-1]
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    lead = x.shape[:-1]
+    a = x.reshape(lead + (n1, n2))                   # a[n1, n2]
+    y = _matmul_fft(jnp.swapaxes(a, -1, -2), inverse)  # y[n2, k1]
+    tw = jnp.asarray(_twiddle(n2, n1, inverse))
+    y = y * tw                                       # W_N^{n2·k1}
+    z = _matmul_fft(jnp.swapaxes(y, -1, -2), inverse)  # z[k1, k2]
+    # ifft normalisation: the two stages each applied 1/N1, 1/N2 — the
+    # product is the required 1/N, but the twiddle must stay unscaled.
+    out = jnp.swapaxes(z, -1, -2).reshape(lead + (n,))  # X[k1 + N1·k2]
+    return out
+
+
 def fft(x: jax.Array, axis: int = -1, variant: str | None = None) -> jax.Array:
     """Forward FFT along ``axis`` with variant selection."""
     return _dispatch(x, axis, inverse=False, variant=variant)
@@ -75,6 +107,11 @@ def _dispatch(x, axis, inverse, variant):
         return (jnp.fft.ifft if inverse else jnp.fft.fft)(x, axis=axis)
     if variant != "mxu":
         raise ValueError(f"unknown fft variant {variant!r}")
+    if n & (n - 1):
+        raise ValueError(f"mxu variant requires power-of-two size, got {n}")
     x = jnp.moveaxis(x, axis, -1)
-    y = _matmul_fft(x, inverse)
+    if n <= MXU_FFT_MAX_SIZE:
+        y = _matmul_fft(x, inverse)
+    else:
+        y = _four_step_fft(x, inverse)
     return jnp.moveaxis(y, -1, axis)

@@ -26,6 +26,24 @@ class TestFFTVariants:
         b = np.asarray(fftlib.fft(jnp.asarray(x), variant="mxu"))
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-2)
 
+    @pytest.mark.parametrize("n", [4096, 16384])
+    def test_four_step_large_n(self, n):
+        """mxu variant above MXU_FFT_MAX_SIZE uses the Bailey four-step
+        decomposition (two batched matmul DFT stages + twiddle)."""
+        rng = np.random.default_rng(5)
+        x = (rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+             ).astype(np.complex64)
+        y = np.asarray(fftlib.fft(jnp.asarray(x), variant="mxu"))
+        ref = np.fft.fft(x, axis=-1)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(y / scale, ref / scale, atol=2e-5)
+        z = np.asarray(fftlib.ifft(jnp.asarray(y), variant="mxu"))
+        np.testing.assert_allclose(z, x, rtol=2e-4, atol=2e-4)
+
+    def test_mxu_rejects_non_power_of_two(self):
+        with pytest.raises(ValueError):
+            fftlib.fft(jnp.zeros((2, 96), jnp.complex64), variant="mxu")
+
     def test_ifft_roundtrip(self):
         rng = np.random.default_rng(1)
         x = (rng.normal(size=(4, 128)) + 1j * rng.normal(size=(4, 128))

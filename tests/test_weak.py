@@ -290,3 +290,53 @@ class TestEME:
         f0 = freqs[np.argmax(spec[1:]) + 1]
         # 'E' stream = 1 dot on + 3 dots gap -> 4-dot period fundamental
         assert f0 == pytest.approx(1 / (4 * dot), rel=0.2)
+
+
+class TestSiganal:
+    """AM/PM noise separation (do_siganal, siganal_graph.c:112-266)."""
+
+    def _mod_carrier(self, n, m_am, f_am, m_pm, f_pm, phase=0.3):
+        t = np.arange(n)
+        am = 1.0 + m_am * np.cos(2 * np.pi * f_am * t)
+        pm = m_pm * np.sin(2 * np.pi * f_pm * t)
+        return (am * np.exp(1j * (pm + phase))).astype(np.complex64)
+
+    def test_separates_am_from_pm(self):
+        from linrad_tpu.weak.siganal import signal_analysis
+        size = 512
+        x = self._mod_carrier(16 * size, 0.02, 20 / size, 0.04, 40 / size)
+        r = signal_analysis(x, fft_n=9, sinpow=0)
+        assert r.segments_used > 10
+        # AM line in the AN spectrum at bin 20, amplitude m/2
+        assert r.an_power[20, 0] == pytest.approx(0.01 ** 2, rel=0.05)
+        # PM line in the PN spectrum at bin 40
+        assert r.pn_power[40, 0] == pytest.approx(0.02 ** 2, rel=0.05)
+        # and the cross-terms are far down
+        assert r.pn_power[20, 0] < 1e-3 * r.an_power[20, 0]
+        assert r.an_power[40, 0] < 1e-3 * r.pn_power[40, 0]
+        assert r.carrier_power[0] == pytest.approx(1.0, rel=0.01)
+
+    def test_incoherent_segments_skipped(self):
+        from linrad_tpu.weak.siganal import signal_analysis
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)
+             ).astype(np.complex64)  # noise only: no coherent carrier
+        r = signal_analysis(x, fft_n=9, sinpow=0)
+        assert r.segments_used == 0
+        assert r.segments_skipped > 0
+
+    def test_two_channel_common_noise_correlates(self):
+        from linrad_tpu.weak.siganal import signal_analysis
+        size = 512
+        rng = np.random.default_rng(1)
+        n = 16 * size
+        common_pm = 0.02 * rng.normal(size=n).cumsum() * 1e-2
+        t = np.arange(n)
+        base = np.exp(1j * (2 * np.pi * 0.0 * t + common_pm))
+        ch0 = base * (1 + 0.001 * rng.normal(size=n))
+        ch1 = base * (1 + 0.001 * rng.normal(size=n))
+        x = np.stack([ch0, ch1], axis=1).astype(np.complex64)
+        r = signal_analysis(x, fft_n=9, sinpow=2)
+        assert r.segments_used > 0
+        # common oscillator phase noise -> high PN correlation at low bins
+        assert np.mean(r.pn_corr[1:8]) > 0.8
