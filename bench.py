@@ -24,9 +24,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cpu_baseline.json")
 
 
-def _params():
+def _params(**overrides):
     from linrad_tpu import RxParams
-    return RxParams(
+    kw = dict(
         rx_ad_speed=96_000,
         first_fft_bandwidth=100.0,
         mix1_bandwidth_reduction_n=4,
@@ -37,11 +37,16 @@ def _params():
         stupid_bln_limit=4.0,
         max_pulses_per_block=64,
         target_fft1_frames_per_step=256,
+        # the pre-hierarchical-blanker HLO: known-good in the remote
+        # compile cache; faster variants are tried first below
+        blanker_block_size=0,
     )
+    kw.update(overrides)
+    return RxParams(**kw)
 
 
-def bench_tpu(steps: int = 150, warmup: int = 10, windows: int = 3
-              ) -> float:
+def bench_tpu(steps: int = 150, warmup: int = 10, windows: int = 3,
+              **overrides) -> float:
     """Msamples/s through the jitted chain on the default device."""
     import jax
     import jax.numpy as jnp
@@ -50,7 +55,7 @@ def bench_tpu(steps: int = 150, warmup: int = 10, windows: int = 3
     from linrad_tpu.ops.blanker import BlankerTables
     from linrad_tpu.pipeline.chain import RxState, RxTables, make_rx_step
 
-    p = _params()
+    p = _params(**overrides)
     geo = derive_geometry(p)
     tables = RxTables.create(geo, p)
     state = RxState.create(geo)
@@ -86,7 +91,7 @@ def bench_tpu(steps: int = 150, warmup: int = 10, windows: int = 3
 
 
 def bench_tpu_batched(k_steps: int = 16, dispatches: int = 12,
-                      windows: int = 3) -> float:
+                      windows: int = 3, **overrides) -> float:
     """Throughput mode: K chain steps per device dispatch via the
     lax.scan BatchRunner (pipeline/batch.py).  File processing is
     throughput-bound, not latency-bound (SURVEY.md §7 hard part 4), and
@@ -97,7 +102,8 @@ def bench_tpu_batched(k_steps: int = 16, dispatches: int = 12,
 
     from linrad_tpu.pipeline.batch import BatchRunner
 
-    br = BatchRunner(_params(), k_steps=k_steps, outputs=("audio",))
+    br = BatchRunner(_params(**overrides), k_steps=k_steps,
+                     outputs=("audio",))
     geo = br.geo
     n = geo.samples_per_step
 
@@ -217,14 +223,37 @@ def bench_cpu_reference(max_seconds: float = 20.0) -> float:
 
 
 def main():
-    # batched throughput mode is the headline; fall back to the
-    # known-good single-step executable if its fresh compile hits the
-    # environmental TPU-backend failure (CLAUDE.md)
-    try:
-        tpu_msps = bench_tpu_batched()
-    except Exception:
-        tpu_msps = 0.0
-    tpu_msps = max(tpu_msps, bench_tpu())
+    # batched throughput mode is the headline.  Candidate configs are
+    # tried fastest-first; any whose fresh compile hits the intermittent
+    # environmental TPU-backend failure (CLAUDE.md) is skipped, ending
+    # with the known-cached flat-blanker executables.
+    import signal
+
+    def _with_timeout(fn, seconds, **kw):
+        def raise_timeout(signum, frame):
+            raise TimeoutError(f"{fn.__name__} exceeded {seconds}s")
+        old = signal.signal(signal.SIGALRM, raise_timeout)
+        signal.alarm(seconds)
+        try:
+            return fn(**kw)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    tpu_msps = 0.0
+    for fn, overrides in (
+            (bench_tpu_batched, dict(blanker_block_size=256)),
+            (bench_tpu_batched, dict(blanker_block_size=0)),
+            (bench_tpu, dict(blanker_block_size=0)),
+    ):
+        try:
+            tpu_msps = max(tpu_msps, _with_timeout(fn, 420, **overrides))
+            if tpu_msps > 0:
+                break
+        except Exception:
+            continue
+    if tpu_msps == 0.0:  # every candidate failed: last-ditch retry
+        tpu_msps = bench_tpu()
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cpu_msps = json.load(f)["cpu_msamples_per_s"]

@@ -110,12 +110,27 @@ class BlankerState:
 
 def clever_blanker(weak: jax.Array, pwr: jax.Array,
                    tables: BlankerTables, noise_floor: jax.Array,
-                   limit_amp: float, pulsewidth: int, max_pulses: int
+                   limit_amp: float, pulsewidth: int, max_pulses: int,
+                   block_size: int = 256
                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fit-and-subtract up to ``max_pulses`` pulses from the weak stream.
 
     weak: (S, C) complex64; pwr: (S,) float32 channel-summed power.
-    Returns (weak', pwr', fitted_count)."""
+    Returns (weak', pwr', fitted_count).
+
+    The candidate search is hierarchical: block maxima of the candidate
+    power are maintained incrementally, so each of the ``max_pulses``
+    sequential iterations reads O(S/block_size + block_size) values
+    instead of re-scanning all S — each subtraction only perturbs the
+    two blocks around the pulse.  (The reference's ring scan is O(S)
+    total but strictly sequential, blank1.c:709-1000; a flat global
+    argmax per iteration would be O(S·max_pulses) of HBM traffic.)
+    ``block_size=0`` selects the flat scan (kept for cross-checking).
+    """
+    if block_size:
+        return _clever_blanker_blocked(weak, pwr, tables, noise_floor,
+                                       limit_amp, pulsewidth, max_pulses,
+                                       block_size)
     s, c = weak.shape
     pul = tables.refbank.shape[1]
     half = pul // 2
@@ -182,6 +197,103 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
     wpad, ppad, _, nfit = jax.lax.fori_loop(
         0, max_pulses, body, (wpad, ppad, active, jnp.int32(0)))
     return wpad[pul: pul + s], ppad[pul: pul + s], nfit
+
+
+def _fit_subtract(wpad, ppad, tables, pw, p, valid):
+    """One fit-and-subtract attempt at candidate position ``p`` —
+    identical math to the flat loop body (blank1.c:36-232)."""
+    c = wpad.shape[1]
+    pul = tables.refbank.shape[1]
+    half = pul // 2
+    start = p - half
+    win = jax.lax.dynamic_slice(wpad, (start, 0), (pul, c))
+    derot = win * tables.phasefunc[:, None]
+    ctr = derot[half - 1: half + 2]
+    ph = jnp.sum(jnp.abs(ctr) * ctr, axis=0)
+    unit = ph / jnp.maximum(jnp.abs(ph), 1e-20)
+    rot = derot * jnp.conj(unit)[None, :]
+    seg = rot[half - pw: half + pw + 1]
+    ipow = jnp.sum(jnp.real(seg) ** 2)
+    qpow = jnp.sum(jnp.imag(seg) ** 2)
+    shape_ok = qpow <= 0.25 * ipow                           # blank1.c:121
+    a = jnp.sum(jnp.real(rot), axis=1)
+    t3 = 2.0 * (a[half - 1] + a[half + 1] - 2.0 * a[half])
+    t4 = jnp.where(jnp.abs(t3) > 1e-20,
+                   (a[half - 1] - a[half + 1]) / t3, 0.0)
+    frac = jnp.sign(t4) * jnp.sqrt(0.5 * jnp.abs(t4))
+    nref = tables.refbank.shape[0]
+    j = jnp.clip((nref * (frac + 0.5) + 0.5).astype(jnp.int32), 0,
+                 nref - 1)
+    ref = tables.refbank[j]
+    coef = unit * jnp.real(rot[half])
+    sub = ref[:, None] * coef[None, :]
+    neww = win - sub
+    newp = jnp.sum(jnp.real(neww) ** 2 + jnp.imag(neww) ** 2, axis=1)
+    oldp = jax.lax.dynamic_slice(ppad, (start,), (pul,))
+    ratio = jnp.sum(newp) / jnp.maximum(jnp.sum(oldp), 1e-20)
+    success = valid & shape_ok & (ratio <= 0.5)              # blank1.c:188
+    wpad2 = jax.lax.dynamic_update_slice(
+        wpad, jnp.where(success, neww, win), (start, 0))
+    ppad2 = jax.lax.dynamic_update_slice(
+        ppad, jnp.where(success, newp, oldp), (start,))
+    return wpad2, ppad2, success
+
+
+def _clever_blanker_blocked(weak, pwr, tables, noise_floor, limit_amp,
+                            pulsewidth, max_pulses, blk):
+    """Hierarchical candidate search: incrementally-maintained block
+    maxima make each sequential iteration O(S/blk + blk) instead of
+    O(S).  Selection order matches the flat scan (the global argmax is
+    the max over block maxima); only tie-breaking can differ."""
+    s, c = weak.shape
+    pul = tables.refbank.shape[1]
+    half = pul // 2
+    pw = pulsewidth
+    assert pul + 2 * pw + 1 < blk, (pul, pw, blk)
+    thr = jnp.float32(limit_amp * limit_amp) * noise_floor
+
+    # pad so the fit window never leaves the array and the length is a
+    # whole number of blocks
+    lead = pul
+    total = max(-(-(s + 2 * pul) // blk) * blk, 2 * blk)
+    trail = total - s - lead
+    wpad = jnp.pad(weak, ((lead, trail), (0, 0)))
+    ppad = jnp.pad(pwr, (lead, trail))
+    active = jnp.pad(jnp.ones(s, bool), (lead, trail))
+    candp = jnp.where(active, ppad, -1.0)
+    nblk = total // blk
+    bmax = jnp.max(candp.reshape(nblk, blk), axis=1)
+
+    def body(i, carry):
+        wpad, ppad, candp, bmax, nfit = carry
+        b = jnp.argmax(bmax).astype(jnp.int32)
+        cblk = jax.lax.dynamic_slice(candp, (b * blk,), (blk,))
+        p = b * blk + jnp.argmax(cblk).astype(jnp.int32)
+        valid = bmax[b] > thr
+        wpad2, ppad2, success = _fit_subtract(wpad, ppad, tables, pw, p,
+                                              valid)
+        # retire the candidate region so the loop progresses, refresh
+        # powers where the subtraction changed them, and rebuild the
+        # two touched block maxima
+        b0 = jnp.clip((p - half - pw) // blk, 0, nblk - 2)
+        w0 = b0 * blk
+        pos = w0 + jnp.arange(2 * blk)
+        pwin = jax.lax.dynamic_slice(ppad2, (w0,), (2 * blk,))
+        cwin = jax.lax.dynamic_slice(candp, (w0,), (2 * blk,))
+        retired = jnp.abs(pos - p) <= pw
+        was_active = cwin >= 0.0
+        act2 = was_active & ~jnp.where(valid, retired,
+                                       jnp.zeros_like(retired))
+        cwin2 = jnp.where(act2, pwin, -1.0)
+        candp2 = jax.lax.dynamic_update_slice(candp, cwin2, (w0,))
+        bm2 = jnp.max(cwin2.reshape(2, blk), axis=1)
+        bmax2 = jax.lax.dynamic_update_slice(bmax, bm2, (b0,))
+        return (wpad2, ppad2, candp2, bmax2,
+                nfit + success.astype(jnp.int32))
+
+    wpad, ppad, _, _, nfit = jax.lax.fori_loop(
+        0, max_pulses, body, (wpad, ppad, candp, bmax, jnp.int32(0)))
+    return wpad[lead: lead + s], ppad[lead: lead + s], nfit
 
 
 def stupid_blanker(weak: jax.Array, pwr: jax.Array,

@@ -105,6 +105,8 @@ class RxParams:
     clever_bln_limit: float = 12.0     # amplitude threshold over noise (hg.clever_bln_limit)
     stupid_bln_limit: float = 8.0
     max_pulses_per_block: int = 16     # bounded fit-subtract iterations per step
+    blanker_block_size: int = 256      # hierarchical candidate-search block
+                                       # (0 = flat global argmax per pulse)
 
     # --- selective limiter (HG_SELLIM_PAR*, globdef.h:618-626) ---
     sellim_maxlevel: float = 8.0       # strong-signal threshold factor (sellim.c:783-786)

@@ -186,7 +186,8 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
             if p.blanker_enable:
                 weak, wpwr, n_fit = blanker_ops.clever_blanker(
                     weak, wpwr, tables.blanker, nf, p.clever_bln_limit,
-                    blanker_pulsewidth, p.max_pulses_per_block)
+                    blanker_pulsewidth, p.max_pulses_per_block,
+                    block_size=p.blanker_block_size)
                 weak, wpwr, n_clear = blanker_ops.stupid_blanker(
                     weak, wpwr, nf, p.stupid_bln_limit,
                     blanker_pulsewidth)

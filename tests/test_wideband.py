@@ -167,6 +167,32 @@ class TestBlankers:
             # >25 dB suppression at the pulse peak
             assert residual < amp * 0.056, (pos, residual, amp)
 
+    def test_blocked_matches_flat_scan(self):
+        """The hierarchical block-maxima search must reproduce the flat
+        global-argmax scan exactly (same candidates, same subtractions),
+        including 2-channel data and pulses near the edges."""
+        geo = _geo(rx_rf_channels=2)
+        tables, pw = BlankerTables.create(geo)
+        rng = np.random.default_rng(7)
+        s = 3000  # deliberately not a multiple of the block size
+        weak = ((rng.normal(size=(s, 2)) + 1j * rng.normal(size=(s, 2)))
+                * 0.1).astype(np.complex64)
+        for pos, frac, amp in [(40, 0.1, 25.0), (700, -0.2, 18.0),
+                               (701 + 256, 0.4, 30.0), (2980, 0.0, 22.0),
+                               (1500, 0.25, 12.0), (1530, -0.1, 40.0)]:
+            pul = self._pulse(rng, 64, frac, amp)
+            lo, hi = max(0, pos - 32), min(s, pos + 32)
+            weak[lo:hi, 0] += pul[lo - (pos - 32): 64 - (pos + 32 - hi)
+                                  ].astype(np.complex64)
+        pwr = np.sum(np.abs(weak) ** 2, 1).astype(np.float32)
+        args = (jnp.asarray(weak), jnp.asarray(pwr), tables,
+                jnp.float32(0.04), 6.0, pw, 16)
+        wf, pf, nf = clever_blanker(*args, block_size=0)
+        wb, pb, nb = clever_blanker(*args, block_size=256)
+        assert int(nf) == int(nb)
+        np.testing.assert_array_equal(np.asarray(wf), np.asarray(wb))
+        np.testing.assert_array_equal(np.asarray(pf), np.asarray(pb))
+
     def test_clever_leaves_clean_signal_alone(self):
         geo = _geo()
         tables, pw = BlankerTables.create(geo)
