@@ -240,8 +240,21 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    # step size is a pure batching knob (the reference's user-set DMA
+    # interrupt rate analog; tests/test_chain.py step-size invariance),
+    # so throughput mode uses large steps: fixed dispatch overhead is
+    # ~100 us through the tunnel and the chain is overhead-dominated at
+    # small steps (256-frame steps: 45 Gsps; 2048: 292 Gsps measured)
     tpu_msps = 0.0
     for fn, overrides in (
+            (bench_tpu_batched, dict(blanker_rounds=8,
+                                     target_fft1_frames_per_step=2048,
+                                     max_pulses_per_block=512)),
+            (bench_tpu_batched, dict(blanker_rounds=8,
+                                     target_fft1_frames_per_step=1024,
+                                     max_pulses_per_block=256)),
+            (bench_tpu_batched, dict(blanker_block_size=256,
+                                     blanker_rounds=8)),
             (bench_tpu_batched, dict(blanker_block_size=256)),
             (bench_tpu_batched, dict(blanker_block_size=0)),
             (bench_tpu, dict(blanker_block_size=0)),

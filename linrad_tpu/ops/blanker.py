@@ -111,7 +111,7 @@ class BlankerState:
 def clever_blanker(weak: jax.Array, pwr: jax.Array,
                    tables: BlankerTables, noise_floor: jax.Array,
                    limit_amp: float, pulsewidth: int, max_pulses: int,
-                   block_size: int = 256
+                   block_size: int = 256, rounds: int = 0
                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fit-and-subtract up to ``max_pulses`` pulses from the weak stream.
 
@@ -126,7 +126,19 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
     total but strictly sequential, blank1.c:709-1000; a flat global
     argmax per iteration would be O(S·max_pulses) of HBM traffic.)
     ``block_size=0`` selects the flat scan (kept for cross-checking).
+
+    ``rounds>0`` selects the parallel variant instead: per round, the
+    strongest candidate of every locally-dominant block is fitted and
+    subtracted simultaneously (selected blocks are never adjacent, so
+    fit windows are disjoint and the subtractions commute exactly with
+    the sequential order); the sequential depth drops from
+    ``max_pulses`` to ``rounds`` while each round is one batched
+    gather/fit/scatter.
     """
+    if rounds:
+        return _clever_blanker_parallel(weak, pwr, tables, noise_floor,
+                                        limit_amp, pulsewidth, rounds,
+                                        block_size or 256)
     if block_size:
         return _clever_blanker_blocked(weak, pwr, tables, noise_floor,
                                        limit_amp, pulsewidth, max_pulses,
@@ -293,6 +305,106 @@ def _clever_blanker_blocked(weak, pwr, tables, noise_floor, limit_amp,
 
     wpad, ppad, _, _, nfit = jax.lax.fori_loop(
         0, max_pulses, body, (wpad, ppad, candp, bmax, jnp.int32(0)))
+    return wpad[lead: lead + s], ppad[lead: lead + s], nfit
+
+
+def _clever_blanker_parallel(weak, pwr, tables, noise_floor, limit_amp,
+                             pulsewidth, rounds, blk):
+    """Round-parallel fit-subtract: every round fits the strongest
+    candidate of each locally-dominant block simultaneously.
+
+    A block is selected only when its candidate beats both neighbour
+    blocks' maxima, so selected blocks are never adjacent: their
+    candidates are ≥ blk+1 > pul + 2·pw apart, the fit windows are
+    disjoint, and the parallel subtractions are bit-identical to
+    performing them sequentially (they commute).  Dominance also keeps
+    the strongest-first order where it matters — an interacting weaker
+    pulse in the adjacent block is deferred until the stronger one has
+    been subtracted.  Sequential depth is ``rounds`` instead of
+    ``max_pulses``; up to nblk/2 pulses are fitted per round.
+    """
+    s, c = weak.shape
+    pul = tables.refbank.shape[1]
+    half = pul // 2
+    pw = pulsewidth
+    nref = tables.refbank.shape[0]
+    assert pul + 2 * pw + 1 <= blk, (pul, pw, blk)
+    thr = jnp.float32(limit_amp * limit_amp) * noise_floor
+
+    # one full padding block on each side: every fit window at a real
+    # candidate stays in-bounds, and padded candidates never win a
+    # block argmax (candp = -1 there)
+    lead = blk
+    total = (-(-(lead + s) // blk) + 1) * blk
+    trail = total - s - lead
+    wpad = jnp.pad(weak, ((lead, trail), (0, 0)))
+    ppad = jnp.pad(pwr, (lead, trail))
+    candp = jnp.pad(pwr, (lead, trail), constant_values=-1.0)
+    nblk = total // blk
+    bidx = jnp.arange(nblk, dtype=jnp.int32)
+    rel = jnp.arange(pul, dtype=jnp.int32) - half            # (pul,)
+
+    def body(r, carry):
+        wpad, ppad, candp, nfit = carry
+        cand2 = candp.reshape(nblk, blk)
+        bmax = jnp.max(cand2, axis=1)                        # (nblk,)
+        p = bidx * blk + jnp.argmax(cand2, axis=1).astype(jnp.int32)
+        # locally-dominant blocks only: the candidate must beat both
+        # neighbour blocks' maxima (left wins ties, like argmax).  Two
+        # adjacent blocks can never both be selected, so selected fit
+        # windows are ≥ blk+1 > pul+2·pw apart (disjoint), and an
+        # interacting stronger neighbour is always fitted first —
+        # preserving the strongest-first order where it matters.
+        bprev = jnp.concatenate([jnp.full((1,), -jnp.inf), bmax[:-1]])
+        bnext = jnp.concatenate([bmax[1:], jnp.full((1,), -jnp.inf)])
+        sel = (bmax > thr) & (bmax > bprev) & (bmax >= bnext)
+
+        rows = p[:, None] + rel[None, :]                     # (nblk, pul)
+        rows_g = jnp.clip(rows, 0, total - 1)
+        win = wpad[rows_g]                                   # (nblk, pul, C)
+        derot = win * tables.phasefunc[None, :, None]
+        ctr = derot[:, half - 1: half + 2]                   # (nblk, 3, C)
+        ph = jnp.sum(jnp.abs(ctr) * ctr, axis=1)             # (nblk, C)
+        unit = ph / jnp.maximum(jnp.abs(ph), 1e-20)
+        rot = derot * jnp.conj(unit)[:, None, :]
+        seg = rot[:, half - pw: half + pw + 1]
+        ipow = jnp.sum(jnp.real(seg) ** 2, axis=(1, 2))
+        qpow = jnp.sum(jnp.imag(seg) ** 2, axis=(1, 2))
+        shape_ok = qpow <= 0.25 * ipow                       # blank1.c:121
+        a = jnp.sum(jnp.real(rot), axis=2)                   # (nblk, pul)
+        t3 = 2.0 * (a[:, half - 1] + a[:, half + 1] - 2.0 * a[:, half])
+        t4 = jnp.where(jnp.abs(t3) > 1e-20,
+                       (a[:, half - 1] - a[:, half + 1]) / t3, 0.0)
+        frac = jnp.sign(t4) * jnp.sqrt(0.5 * jnp.abs(t4))
+        j = jnp.clip((nref * (frac + 0.5) + 0.5).astype(jnp.int32), 0,
+                     nref - 1)
+        ref = tables.refbank[j]                              # (nblk, pul)
+        coef = unit * jnp.real(rot[:, half])                 # (nblk, C)
+        neww = win - ref[:, :, None] * coef[:, None, :]
+        newp = jnp.sum(jnp.real(neww) ** 2 + jnp.imag(neww) ** 2, axis=2)
+        oldp = ppad[rows_g]                                  # (nblk, pul)
+        ratio = (jnp.sum(newp, axis=1)
+                 / jnp.maximum(jnp.sum(oldp, axis=1), 1e-20))
+        success = sel & shape_ok & (ratio <= 0.5)            # blank1.c:188
+
+        # scatter the disjoint windows back; unselected blocks write
+        # out-of-bounds and are dropped
+        rows_s = jnp.where(sel[:, None], rows, total)
+        wvals = jnp.where(success[:, None, None], neww, win)
+        pvals = jnp.where(success[:, None], newp, oldp)
+        wpad2 = wpad.at[rows_s].set(wvals, mode="drop")
+        ppad2 = ppad.at[rows_s].set(pvals, mode="drop")
+        # retire ±pw around each fitted candidate (pw < half so the
+        # retire span lies inside the same window), refresh the rest
+        cold = candp[rows_g]
+        retired = jnp.abs(rows - p[:, None]) <= pw
+        cvals = jnp.where(retired | (cold < 0.0), -1.0, pvals)
+        candp2 = candp.at[rows_s].set(cvals, mode="drop")
+        return (wpad2, ppad2, candp2,
+                nfit + jnp.sum(success.astype(jnp.int32)))
+
+    wpad, ppad, _, nfit = jax.lax.fori_loop(
+        0, rounds, body, (wpad, ppad, candp, jnp.int32(0)))
     return wpad[lead: lead + s], ppad[lead: lead + s], nfit
 
 

@@ -179,7 +179,8 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                     weak, wpwr, tables.blanker, nf, p.clever_bln_limit,
                     blanker_pulsewidth,
                     max(1, p.max_pulses_per_block // d),
-                    block_size=p.blanker_block_size)
+                    block_size=p.blanker_block_size,
+                    rounds=p.blanker_rounds)
                 weak, wpwr, n_clear = blanker_ops.stupid_blanker(
                     weak, wpwr, nf, p.stupid_bln_limit, blanker_pulsewidth)
                 n_fit = jax.lax.psum(n_fit, AXIS)

@@ -107,6 +107,9 @@ class RxParams:
     max_pulses_per_block: int = 16     # bounded fit-subtract iterations per step
     blanker_block_size: int = 256      # hierarchical candidate-search block
                                        # (0 = flat global argmax per pulse)
+    blanker_rounds: int = 0            # >0: parallel variant — fit one pulse
+                                       # per alternating block per round,
+                                       # sequential depth = rounds
 
     # --- selective limiter (HG_SELLIM_PAR*, globdef.h:618-626) ---
     sellim_maxlevel: float = 8.0       # strong-signal threshold factor (sellim.c:783-786)

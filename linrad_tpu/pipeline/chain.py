@@ -187,7 +187,8 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
                 weak, wpwr, n_fit = blanker_ops.clever_blanker(
                     weak, wpwr, tables.blanker, nf, p.clever_bln_limit,
                     blanker_pulsewidth, p.max_pulses_per_block,
-                    block_size=p.blanker_block_size)
+                    block_size=p.blanker_block_size,
+                    rounds=p.blanker_rounds)
                 weak, wpwr, n_clear = blanker_ops.stupid_blanker(
                     weak, wpwr, nf, p.stupid_bln_limit,
                     blanker_pulsewidth)

@@ -20,6 +20,43 @@ from ..params import RxParams
 from .chain import RxOutputs, RxState, RxTables, make_rx_step
 
 
+class Transport:
+    """File-replay transport: pause/resume/seek honored between steps
+    (the diskread_pause_flag + seek handling of the reference's file
+    input, menu.c:888-896).  Thread-safe — drive it from another thread
+    while the run() generator is being consumed."""
+
+    def __init__(self):
+        import threading
+        self._running = threading.Event()
+        self._running.set()
+        self._seek_seconds: float | None = None
+        self._lock = threading.Lock()
+
+    def pause(self) -> None:
+        self._running.clear()
+
+    def resume(self) -> None:
+        self._running.set()
+
+    @property
+    def paused(self) -> bool:
+        return not self._running.is_set()
+
+    def seek(self, seconds: float) -> None:
+        """Jump the replay position (forward or back)."""
+        with self._lock:
+            self._seek_seconds = max(0.0, float(seconds))
+
+    def _next_index(self, i: int, step_seconds: float) -> int:
+        self._running.wait()
+        with self._lock:
+            if self._seek_seconds is not None:
+                i = int(self._seek_seconds / step_seconds)
+                self._seek_seconds = None
+        return i
+
+
 class Receiver:
     def __init__(self, params: RxParams, calibration: dict | None = None,
                  audio_out_rate: float | None = None):
@@ -136,16 +173,38 @@ class Receiver:
     def _steps_done(self, v: int) -> None:
         self.control.steps_done = v
 
-    def run(self, iq: np.ndarray, progress: bool = False):
+    def run(self, iq: np.ndarray, progress: bool = False,
+            transport: "Transport | None" = None, pace: bool = False):
         """Stream an arbitrary-length recording; yields RxOutputs per
         step (drops the final partial block, like the reference's file
-        input thread stops at EOF, modesub.c:1022)."""
+        input thread stops at EOF, modesub.c:1022).
+
+        transport: optional pause/resume/seek control between steps
+        (diskread_pause_flag analog).  pace: replay at the recording's
+        real-time rate, like the reference's file input thread paces to
+        the A/D speed (§3.5)."""
+        import time as _time
         if iq.ndim == 1:
             iq = iq[:, None]
         s = (self.geo.samples_per_step if self.geo.iq_input
              else 2 * self.geo.samples_per_step)
-        for i in range(iq.shape[0] // s):
+        n_steps = iq.shape[0] // s
+        t0 = _time.monotonic()
+        done = 0
+        i = 0
+        while i < n_steps:
+            if transport is not None:
+                i = transport._next_index(i, self._step_seconds)
+                if i >= n_steps:
+                    break
+            if pace:
+                due = t0 + done * self._step_seconds
+                delay = due - _time.monotonic()
+                if delay > 0:
+                    _time.sleep(delay)
             yield self.process_block(iq[i * s:(i + 1) * s])
+            i += 1
+            done += 1
 
     def run_file(self, path: str):
         """Stream a .wav recording through the native file prefetcher

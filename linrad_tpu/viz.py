@@ -136,3 +136,84 @@ def save_pgm(path: str, image: np.ndarray) -> None:
     with open(path, "wb") as f:
         f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
         f.write(img.tobytes())
+
+
+def _lzw_encode(data: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits a clear code first, grows code width up
+    to 12 bits, re-clears on dictionary overflow."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for b in data.tobytes():
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def save_gif(path: str, image: np.ndarray,
+             palette: np.ndarray | None = None) -> None:
+    """Screen dump as an actual GIF87a (save_screen_image,
+    gifsave.c:960) with LZW compression — dependency-free.
+
+    image: (H, W) uint8 palette indices (grayscale levels by default).
+    palette: optional (256, 3) uint8 RGB colormap (the reference's
+    256-color palette, palette.c); defaults to grayscale."""
+    img = np.ascontiguousarray(np.asarray(image, np.uint8))
+    assert img.ndim == 2, "expects a (H, W) index image"
+    h, w = img.shape
+    if palette is None:
+        palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+    pal = np.asarray(palette, np.uint8)
+    assert pal.shape == (256, 3), pal.shape
+    with open(path, "wb") as f:
+        f.write(b"GIF87a")
+        # logical screen descriptor: global color table, 8 bits/pixel
+        f.write(w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+        f.write(bytes([0xF7, 0, 0]))
+        f.write(pal.tobytes())
+        # image descriptor (no local color table)
+        f.write(b"\x2C" + bytes(4))
+        f.write(w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+        f.write(b"\x00")
+        f.write(bytes([8]))                      # LZW min code size
+        data = _lzw_encode(img.reshape(-1), 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i: i + 255]
+            f.write(bytes([len(chunk)]) + chunk)
+        f.write(b"\x00\x3B")                     # terminator + trailer

@@ -114,6 +114,58 @@ class TestSSBChain:
             + [np.asarray(o.audio) for o in rx2.run(iq[2 * g.samples_per_step:])])
         np.testing.assert_allclose(half, full, atol=1e-5)
 
+    def test_step_size_invariance(self):
+        """The per-step frame count is a pure batching knob (the analog
+        of the reference's user-set DMA interrupt rate, globdef.h:519):
+        the same recording processed with different
+        target_fft1_frames_per_step gives identical audio.  This is
+        what licenses the throughput bench to scale the step size."""
+        small = _rx(target_fft1_frames_per_step=8)
+        big = _rx(target_fft1_frames_per_step=32)
+        g = small.geo
+        assert big.geo.samples_per_step == 4 * g.samples_per_step
+        iq = tones_iq(g.rx_ad_speed, big.geo.samples_per_step * 2,
+                      [Tone(12_350.0)])
+        small.tune(12_000.0)
+        big.tune(12_000.0)
+        a_small = np.concatenate(
+            [np.asarray(o.audio) for o in small.run(iq)])
+        a_big = np.concatenate(
+            [np.asarray(o.audio) for o in big.run(iq)])
+        # differences are XLA reduction-order float noise (different
+        # batch shapes fuse differently); 2e-4 on a unit tone = -74 dB
+        np.testing.assert_allclose(a_small, a_big, atol=2e-4)
+
+    def test_step_size_invariance_wideband(self):
+        """Same invariance through the full second-FFT path (sellim +
+        back-FFT + blankers + fft2) on pulse-contaminated input, with
+        matched noise-floor state: audio equal to float tolerance and
+        the same pulses fitted."""
+        kw = dict(second_fft_enable=True, blanker_enable=True,
+                  clever_bln_limit=6.0, stupid_bln_limit=4.0,
+                  max_pulses_per_block=64, blanker_rounds=8)
+        small = _rx(target_fft1_frames_per_step=8, **kw)
+        big = _rx(target_fft1_frames_per_step=32, **kw)
+        g = small.geo
+        rng = np.random.default_rng(2)
+        n = big.geo.samples_per_step * 2
+        iq = tones_iq(g.rx_ad_speed, n, [Tone(12_350.0)])
+        iq = iq + (0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                   ).astype(np.complex64)
+        # strong enough to clear even the cold-start noise floor (200,
+        # buf.c:415-427 analog) — these short runs never warm the EMA
+        iq[1000::9973] += 300.0
+        small.tune(12_000.0)
+        big.tune(12_000.0)
+        outs_s = list(small.run(iq))
+        outs_b = list(big.run(iq))
+        fit_s = sum(int(o.blanker_fitted) for o in outs_s)
+        fit_b = sum(int(o.blanker_fitted) for o in outs_b)
+        assert fit_s > 0
+        # the noise-floor EMA updates once per step, so its trajectory
+        # differs during warm-up; pulse counts must still agree closely
+        assert abs(fit_s - fit_b) <= max(2, fit_s // 10), (fit_s, fit_b)
+
 
 class TestOtherDemods:
     def test_am(self):

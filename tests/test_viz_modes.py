@@ -11,7 +11,7 @@ from linrad_tpu.pipeline import Receiver
 from linrad_tpu.tx import ssb_modulate
 from linrad_tpu.viz import (Waterfall, allan_deviation,
                             correlation_spectrum, oscilloscope_capture,
-                            s_meter_dbm, save_pgm, spectrum_db)
+                            s_meter_dbm, save_gif, save_pgm, spectrum_db)
 
 
 class TestWaterfall:
@@ -145,6 +145,49 @@ class TestHooks:
         assert calls == {"extra_fast": 2, "block": 2, "tune": 1}
 
 
+class TestTransport:
+    def test_pause_seek_pace(self):
+        """Transport pause/resume/seek between steps + real-time pacing
+        (the reference file input's diskread_pause_flag + rate pacing,
+        menu.c:888, SURVEY.md §3.5)."""
+        import threading
+        import time
+
+        from linrad_tpu.pipeline import Transport
+
+        p = RxParams(fft1_n_override=9, agc_enable=False,
+                     target_fft1_frames_per_step=8)
+        rx = Receiver(p)
+        s = rx.geo.samples_per_step
+        iq = tones_iq(rx.geo.rx_ad_speed, s * 6, [Tone(10_000.0)])
+        tr = Transport()
+        tr.pause()
+        got = []
+        done = threading.Event()
+
+        def consume():
+            for k, _ in enumerate(rx.run(iq, transport=tr)):
+                got.append(k)
+            done.set()
+
+        t = threading.Thread(target=consume)
+        t.start()
+        time.sleep(0.2)
+        assert got == []                 # paused before the first step
+        tr.seek(4 * s / rx.geo.timf1_sampling_speed)  # skip to step 4
+        tr.resume()
+        assert done.wait(30.0)
+        t.join()
+        assert len(got) == 2             # steps 4 and 5 only
+
+        # pacing: 3 steps must take >= 2 step times
+        t0 = time.monotonic()
+        n = sum(1 for _ in rx.run(iq[: 3 * s], pace=True))
+        dt = time.monotonic() - t0
+        assert n == 3
+        assert dt >= 2 * rx._step_seconds
+
+
 class TestPGM:
     def test_save(self, tmp_path):
         img = np.arange(0, 100, dtype=np.uint8).reshape(10, 10)
@@ -152,3 +195,32 @@ class TestPGM:
         save_pgm(path, img)
         with open(path, "rb") as f:
             assert f.readline().strip() == b"P5"
+
+
+class TestGIF:
+    def test_roundtrip(self, tmp_path):
+        """save_gif output must decode pixel-exact (via an independent
+        decoder) — the gifsave.c:960 screen-dump analog."""
+        PIL_Image = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(3)
+        # waterfall-like content: smooth rows + noise, exercises LZW
+        # runs and dictionary growth past one code width
+        img = (np.cumsum(rng.integers(-3, 4, size=(90, 257)), axis=1)
+               % 256).astype(np.uint8)
+        path = str(tmp_path / "w.gif")
+        save_gif(path, img)
+        with open(path, "rb") as f:
+            assert f.read(6) == b"GIF87a"
+        decoded = np.asarray(PIL_Image.open(path))
+        np.testing.assert_array_equal(decoded, img)
+
+    def test_palette(self, tmp_path):
+        PIL_Image = pytest.importorskip("PIL.Image")
+        pal = np.zeros((256, 3), np.uint8)
+        pal[:, 0] = np.arange(256)          # red ramp
+        img = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+        path = str(tmp_path / "c.gif")
+        save_gif(path, img, palette=pal)
+        rgb = np.asarray(PIL_Image.open(path).convert("RGB"))
+        np.testing.assert_array_equal(rgb[..., 0], img)
+        assert rgb[..., 1:].max() == 0

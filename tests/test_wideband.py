@@ -193,6 +193,60 @@ class TestBlankers:
         np.testing.assert_array_equal(np.asarray(wf), np.asarray(wb))
         np.testing.assert_array_equal(np.asarray(pf), np.asarray(pb))
 
+    def test_parallel_matches_flat_scan(self):
+        """The round-parallel variant must equal the flat scan exactly
+        when fitted pulses' windows are disjoint (the subtractions
+        commute), including pulses inside the same block."""
+        geo = _geo(rx_rf_channels=2)
+        tables, pw = BlankerTables.create(geo)
+        rng = np.random.default_rng(11)
+        s = 3000
+        weak = ((rng.normal(size=(s, 2)) + 1j * rng.normal(size=(s, 2)))
+                * 0.1).astype(np.complex64)
+        # all pairs ≥ pul + 2·pw apart → disjoint fit windows
+        for pos, frac, amp in [(60, 0.1, 25.0), (300, -0.2, 18.0),
+                               (500, 0.4, 30.0), (900, 0.0, 22.0),
+                               (1500, 0.25, 12.0), (2980, -0.1, 40.0)]:
+            pul = self._pulse(rng, 64, frac, amp)
+            lo, hi = max(0, pos - 32), min(s, pos + 32)
+            weak[lo:hi, 0] += pul[lo - (pos - 32): 64 - (pos + 32 - hi)
+                                  ].astype(np.complex64)
+        pwr = np.sum(np.abs(weak) ** 2, 1).astype(np.float32)
+        args = (jnp.asarray(weak), jnp.asarray(pwr), tables,
+                jnp.float32(0.04), 6.0, pw, 16)
+        wf, pf, nf = clever_blanker(*args, block_size=0)
+        wp, pp, np_ = clever_blanker(*args, rounds=6)
+        assert int(nf) == int(np_), (int(nf), int(np_))
+        np.testing.assert_array_equal(np.asarray(wf), np.asarray(wp))
+        np.testing.assert_array_equal(np.asarray(pf), np.asarray(pp))
+
+    def test_parallel_dense_cluster_suppression(self):
+        """Interacting pulses (windows overlap, possibly straddling
+        block boundaries) may be selected in a different order than the
+        strongest-first scan, but suppression must match the sequential
+        path to within 1 dB."""
+        geo = _geo()
+        tables, pw = BlankerTables.create(geo)
+        rng = np.random.default_rng(5)
+        s = 2048
+        weak = ((rng.normal(size=(s, 1)) + 1j * rng.normal(size=(s, 1)))
+                * 0.1).astype(np.complex64)
+        # cluster around the block-256 boundary: 230..280 every ~25
+        for pos, frac, amp in [(230, 0.1, 25.0), (255, -0.3, 35.0),
+                               (280, 0.2, 20.0), (1020, 0.0, 30.0),
+                               (1045, 0.4, 28.0)]:
+            pul = self._pulse(rng, 64, frac, amp)
+            weak[pos - 32: pos + 32, 0] += pul.astype(np.complex64)
+        pwr = np.sum(np.abs(weak) ** 2, 1).astype(np.float32)
+        args = (jnp.asarray(weak), jnp.asarray(pwr), tables,
+                jnp.float32(0.04), 6.0, pw, 16)
+        _, pf, nf = clever_blanker(*args, block_size=0)
+        _, pp, np_ = clever_blanker(*args, rounds=8)
+        # same pulses found, residual power within 1 dB
+        assert int(np_) >= int(nf) - 1
+        rf, rp = float(jnp.sum(pf)), float(jnp.sum(pp))
+        assert abs(10 * np.log10(rp / rf)) < 1.0, (rf, rp)
+
     def test_clever_leaves_clean_signal_alone(self):
         geo = _geo()
         tables, pw = BlankerTables.create(geo)
@@ -251,11 +305,16 @@ class TestWidebandPipeline:
         r = z - amp * ref
         return 10 * np.log10(np.vdot(z, z).real / np.vdot(r, r).real)
 
-    def test_blanker_improves_snr(self):
+    @pytest.mark.parametrize("search", [
+        dict(blanker_block_size=256),                     # sequential blocked
+        dict(blanker_block_size=256, blanker_rounds=8),   # round-parallel
+    ])
+    def test_blanker_improves_snr(self, search):
         base = dict(first_fft_bandwidth=100.0,
                     mix1_bandwidth_reduction_n=4, second_fft_enable=True,
                     agc_enable=False, clever_bln_limit=6.0,
-                    stupid_bln_limit=4.0, max_pulses_per_block=64)
+                    stupid_bln_limit=4.0, max_pulses_per_block=64,
+                    **search)
         snrs = {}
         fits = {}
         iq = None
