@@ -7,6 +7,8 @@ stage across a ``jax.sharding.Mesh`` and exchanges the overlap-save
 halos and overlap-add carries between neighbouring shards with
 ``lax.ppermute`` over ICI (SURVEY.md §7 sharding design)."""
 
-from .sharded import ShardedReceiver, make_sharded_rx_step
+from .sharded import (ShardedBatchRunner, ShardedReceiver,
+                      make_sharded_rx_step)
 
-__all__ = ["ShardedReceiver", "make_sharded_rx_step"]
+__all__ = ["ShardedReceiver", "ShardedBatchRunner",
+           "make_sharded_rx_step"]

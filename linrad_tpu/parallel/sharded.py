@@ -411,3 +411,78 @@ class ShardedReceiver:
         s = self.geo.samples_per_step
         for i in range(iq.shape[0] // s):
             yield self.process_block(iq[i * s:(i + 1) * s])
+
+
+class ShardedBatchRunner:
+    """Throughput mode over the mesh: K sharded steps per dispatch.
+
+    The lax.scan of pipeline/batch.py wrapped around the shard_map step —
+    the device mesh processes K * samples_per_step samples per dispatch
+    with the cross-shard halos/carries riding ICI inside the scan and no
+    host round-trips in between.  State chains through the scan exactly
+    as across streamed ShardedReceiver steps (tested)."""
+
+    def __init__(self, params: RxParams, k_steps: int = 16,
+                 outputs: tuple = ("audio", "baseb"), devices=None):
+        from ..geometry import derive_geometry
+        if devices is None:
+            devices = jax.devices()
+        self.mesh = Mesh(np.array(devices), (AXIS,))
+        d = len(devices)
+        if params.shards != d:
+            params = RxParams(**{**params.__dict__, "shards": d})
+        self.params = params
+        self.geo = derive_geometry(params)
+        self.k = k_steps
+        self.outputs = tuple(outputs)
+        self.tables = RxTables.create(self.geo, params)
+        self.state = RxState.create(self.geo, spur=params.spur_enable)
+        pw = 2
+        if self.geo.second_fft_enable:
+            from ..ops.blanker import BlankerTables
+            _, pw = BlankerTables.create(self.geo)
+        step = make_sharded_rx_step(self.geo, params, self.mesh, pw)
+        fields = self.outputs
+
+        def run_k(tables, state, blocks, tune_bin):
+            def body(s, blk):
+                s, out = step(tables, s, blk, tune_bin)
+                return s, tuple(getattr(out, f) for f in fields)
+
+            return jax.lax.scan(body, state, blocks)
+
+        self._run_k = jax.jit(run_k, donate_argnums=(1,))
+        self._tune_bin = jnp.zeros((), jnp.int32)
+        self._blocks_sharding = NamedSharding(self.mesh, P(None, AXIS,
+                                                           None))
+
+    def tune(self, freq_hz: float) -> None:
+        n = self.geo.fftx_size
+        fs = self.geo.timf1_sampling_speed
+        self._tune_bin = jnp.asarray(
+            int(round(freq_hz / fs * n)) % n, jnp.int32)
+
+    @property
+    def samples_per_call(self) -> int:
+        return self.k * self.geo.samples_per_step
+
+    def process(self, iq: np.ndarray) -> dict[str, np.ndarray]:
+        """Process a recording; returns concatenated output streams.
+        Trailing samples short of a full K-step call are dropped."""
+        if iq.ndim == 1:
+            iq = iq[:, None]
+        s = self.geo.samples_per_step
+        per = self.samples_per_call
+        collected: dict[str, list] = {f: [] for f in self.outputs}
+        for i in range(iq.shape[0] // per):
+            seg = jnp.asarray(iq[i * per:(i + 1) * per], jnp.complex64)
+            blocks = jax.device_put(
+                seg.reshape(self.k, s, self.geo.channels),
+                self._blocks_sharding)
+            self.state, outs = self._run_k(self.tables, self.state,
+                                           blocks, self._tune_bin)
+            for f, v in zip(self.outputs, outs):
+                a = np.asarray(v)               # (K, S_f, C)
+                collected[f].append(a.reshape(-1, a.shape[-1]))
+        return {f: (np.concatenate(v) if v else np.zeros((0, 1)))
+                for f, v in collected.items()}

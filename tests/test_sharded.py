@@ -79,6 +79,36 @@ class TestShardedWideband:
         assert rel < 0.05, rel
 
 
+class TestShardedBatch:
+    def test_batched_equals_streamed(self):
+        """K sharded steps per dispatch (lax.scan around the shard_map
+        step) must chain state exactly like streamed sharded steps."""
+        from linrad_tpu.parallel import ShardedBatchRunner
+
+        p8 = RxParams(**_base(second_fft_enable=True, blanker_enable=True,
+                              clever_bln_limit=6.0, stupid_bln_limit=4.0,
+                              max_pulses_per_block=64, blanker_rounds=4),
+                      shards=8)
+        br = ShardedBatchRunner(p8, k_steps=3, outputs=("audio",))
+        g = br.geo
+        rng = np.random.default_rng(1)
+        fs = g.rx_ad_speed
+        n = g.samples_per_step * 3
+        iq = (tones_iq(fs, n, [Tone(12_400.0)])
+              + ((rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.02
+                 ).astype(np.complex64)
+              + impulse_noise(rng, n, 50.0, fs, 30.0))
+        br.tune(12_000.0)
+        batched = br.process(iq)["audio"]
+        srx = ShardedReceiver(p8)
+        srx.tune(12_000.0)
+        streamed = np.concatenate(
+            [np.asarray(o.audio) for o in srx.run(iq)])
+        # scan vs unrolled bodies fuse differently; same tolerance as
+        # the single-device batch-vs-streamed test
+        np.testing.assert_allclose(batched, streamed, atol=1e-3)
+
+
 class TestShardedAFC:
     def test_tracks_drift_across_mesh(self):
         """Per-frame AFC tuning in the sharded step: the mixer phase
