@@ -166,6 +166,44 @@ class TestMorse:
         res = decode_morse(cw, fs)
         assert res.text == msg
 
+    def test_decode_ml_clean(self):
+        from linrad_tpu.weak.cw import decode_morse_ml
+        fs = 6000.0
+        msg = "CQ TEST DE SM5BSZ K"
+        cw = keyed_cw(msg, fs, 22, 600.0)
+        assert decode_morse_ml(cw, fs).text == msg
+
+    def test_decode_ml_beats_threshold_at_the_edge(self):
+        """The Viterbi element-grammar decoder must not lose to the
+        thresholded path at its failure point (-3 dB wideband SNR) —
+        measured ~25% fewer character errors over seeds."""
+        from linrad_tpu.weak.cw import decode_morse_ml
+
+        def edist(a, b):
+            m, n = len(a), len(b)
+            d = np.arange(n + 1, dtype=int)
+            for i in range(1, m + 1):
+                prev = d.copy()
+                d[0] = i
+                for j in range(1, n + 1):
+                    d[j] = min(prev[j] + 1, d[j - 1] + 1,
+                               prev[j - 1] + (a[i - 1] != b[j - 1]))
+            return int(d[n])
+
+        fs = 4000.0
+        msg = "CQ CQ DE SM5BSZ"
+        z = keyed_cw(msg, fs, 20.0, 0.0)
+        amp = 10 ** (3 / 20) / np.sqrt(2)
+        e_thr = e_ml = 0
+        for seed in range(6):
+            rng = np.random.default_rng(100 + seed)
+            noisy = z + amp * (rng.normal(size=len(z))
+                               + 1j * rng.normal(size=len(z)))
+            e_thr += edist(decode_morse(noisy, fs).text, msg)
+            e_ml += edist(decode_morse_ml(noisy, fs).text, msg)
+        assert e_ml <= e_thr, (e_ml, e_thr)
+        assert e_ml <= 0.15 * 6 * len(msg), e_ml
+
     def test_weak_signal_decode(self):
         """Matched-filter decode at +4 dB in-filter SNR: mostly correct
         (cwdetect.c-style matched filtering; a plain envelope threshold
