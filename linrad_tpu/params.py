@@ -148,15 +148,31 @@ class RxParams:
             raise ValueError("fft3_sinpow must be 1 or 2 (50%-overlap baseband)")
 
     # --- persistence: the par_userint / par_<mode> analog -----------------
+    # Version code semantics follow vernr.h: every saved file carries
+    # `check`; a major mismatch forces re-setup (the reference discards
+    # the file and re-runs parameter entry, xmain.c:1605-1632).
+    PAR_VERNR = 1
+
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
         d["input_mode"] = int(self.input_mode)
         d["demod"] = int(self.demod)
+        d["check"] = self.PAR_VERNR
         return json.dumps(d, indent=2)
 
     @classmethod
-    def from_json(cls, text: str) -> "RxParams":
+    def from_json(cls, text: str, strict: bool = False) -> "RxParams":
         d = json.loads(text)
+        check = d.pop("check", cls.PAR_VERNR)
+        if check != cls.PAR_VERNR:
+            raise ValueError(
+                f"parameter file version {check} != {cls.PAR_VERNR}: "
+                "re-setup required (vernr.h semantics)")
+        if not strict:
+            # files written by older builds may lack new fields (their
+            # defaults apply) and newer builds may have extra ones
+            names = {f.name for f in dataclasses.fields(cls)}
+            d = {k: v for k, v in d.items() if k in names}
         d["input_mode"] = InputMode(d["input_mode"])
         d["demod"] = Demod(d["demod"])
         d["notches"] = tuple(tuple(n) for n in d.get("notches", ()))

@@ -90,3 +90,22 @@ def test_noise_floor_avgnum_one_second():
 def test_params_json_roundtrip():
     p = RxParams(second_fft_enable=True, blanker_enable=True)
     assert RxParams.from_json(p.to_json()) == p
+
+
+def test_params_version_and_compat():
+    """vernr.h semantics: version mismatch forces re-setup; files from
+    older/newer builds load with unknown fields dropped and missing
+    fields defaulted."""
+    import json
+
+    p = RxParams()
+    d = json.loads(p.to_json())
+    assert d["check"] == RxParams.PAR_VERNR
+    d["check"] = RxParams.PAR_VERNR + 1
+    with pytest.raises(ValueError, match="re-setup"):
+        RxParams.from_json(json.dumps(d))
+    d["check"] = RxParams.PAR_VERNR
+    d["some_future_knob"] = 42          # newer build's field
+    del d["blanker_rounds"]             # older build lacks a new field
+    q = RxParams.from_json(json.dumps(d))
+    assert q.blanker_rounds == RxParams().blanker_rounds
