@@ -30,13 +30,18 @@ from .windows import synthesis_weights
 
 def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
               edge_hz: float = 0.0, compensate_fqwin: bool = True,
-              notches: tuple = ()) -> np.ndarray:
+              notches: tuple = (), shape: tuple = ()) -> np.ndarray:
     """Baseband filter in shifted mix2-bin order (the make_bg_filter
     analog, reference baseb_graph.c:1246).
 
     Passband [low_hz, high_hz] (relative to the tuned frequency, negative
     = below carrier) with raised-cosine edges of width edge_hz, times the
-    1/mix1_fqwin passband compensation."""
+    1/mix1_fqwin passband compensation.
+
+    shape: the user-drawn filter curve (the reference's freehand
+    bg_filterfunc drawn with the mouse on the baseband graph) as
+    ((freq_hz, gain_db), ...) breakpoints, interpolated linearly in dB
+    across the passband and flat beyond the outermost points."""
     m2 = geo.mix2_size
     n3 = geo.fft3_size
     fs3 = geo.timf3_sampling_speed
@@ -67,6 +72,12 @@ def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
         h *= np.where(d < nw, np.sin(0.5 * np.pi
                                      * np.clip(d / max(nw, 1e-9), 0, 1)
                                      ) ** 2, 1.0)
+    if shape:
+        pts = sorted((float(f), float(g)) for f, g in shape)
+        fz = np.array([f for f, _ in pts])
+        gz = np.array([g for _, g in pts])
+        gain_db = np.interp(freq, fz, gz)
+        h *= 10.0 ** (gain_db / 20.0)
     return h.astype(np.float32)
 
 
@@ -80,7 +91,7 @@ class Mix2Tables:
     def create(cls, geo: Geometry, p: RxParams,
                coh_factor: float = 8.0) -> "Mix2Tables":
         filt = bg_filter(geo, p.filter_low_hz, p.filter_high_hz,
-                         notches=p.notches)
+                         notches=p.notches, shape=p.filter_shape)
         # carrier filter: bg.coh_factor x narrower, centred on the BFO
         # (mix2.c:246-262)
         width = (p.filter_high_hz - p.filter_low_hz) / (2.0 * coh_factor)

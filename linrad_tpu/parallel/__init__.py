@@ -7,8 +7,9 @@ stage across a ``jax.sharding.Mesh`` and exchanges the overlap-save
 halos and overlap-add carries between neighbouring shards with
 ``lax.ppermute`` over ICI (SURVEY.md §7 sharding design)."""
 
+from .fleet import FleetRunner
 from .sharded import (ShardedBatchRunner, ShardedReceiver,
                       make_sharded_rx_step)
 
-__all__ = ["ShardedReceiver", "ShardedBatchRunner",
+__all__ = ["ShardedReceiver", "ShardedBatchRunner", "FleetRunner",
            "make_sharded_rx_step"]

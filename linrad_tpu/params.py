@@ -88,6 +88,9 @@ class RxParams:
     filter_low_hz: float = -1500.0     # baseband passband (user-drawn filter analog)
     filter_high_hz: float = 1500.0
     notches: tuple = ()                # ((freq_hz, width_hz), ...) baseband notches
+    filter_shape: tuple = ()           # user-drawn filter curve: ((freq_hz,
+                                       # gain_db), ...) dB breakpoints
+                                       # (bg_filterfunc analog)
 
     # --- squelch (update_squelch fft3.c:87; gate applied in rxout) ---
     squelch_enable: bool = False
@@ -176,6 +179,8 @@ class RxParams:
         d["input_mode"] = InputMode(d["input_mode"])
         d["demod"] = Demod(d["demod"])
         d["notches"] = tuple(tuple(n) for n in d.get("notches", ()))
+        d["filter_shape"] = tuple(tuple(n)
+                                  for n in d.get("filter_shape", ()))
         return cls(**d)
 
 

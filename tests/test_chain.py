@@ -167,6 +167,34 @@ class TestSSBChain:
         assert abs(fit_s - fit_b) <= max(2, fit_s // 10), (fit_s, fit_b)
 
 
+class TestUserFilterShape:
+    def test_drawn_curve_shapes_passband(self):
+        """filter_shape (the freehand bg_filterfunc curve drawn on the
+        baseband graph, baseb_graph.c make_bg_filter): dB breakpoints
+        are applied on top of the passband — a -20 dB region at one tone
+        attenuates it by 20 dB relative to an untouched tone."""
+        shape = ((200.0, 0.0), (500.0, 0.0), (700.0, -20.0),
+                 (900.0, -20.0), (1100.0, 0.0))
+        amps = {}
+        for shaped in (False, True):
+            rx = _rx(filter_shape=shape if shaped else ())
+            g = rx.geo
+            rx.tune(12_000.0)
+            iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 6,
+                          [Tone(12_300.0), Tone(12_800.0)])
+            z = np.concatenate(
+                [np.asarray(o.baseb) for o in rx.run(iq)])[:, 0]
+            zz = z[len(z) // 2:]
+            t = np.arange(len(zz)) / g.baseband_sampling_speed
+            amps[shaped] = [
+                abs(np.vdot(np.exp(2j * np.pi * f * t), zz) / len(zz))
+                for f in (300.0, 800.0)]
+        keep_db = 20 * np.log10(amps[True][0] / amps[False][0])
+        cut_db = 20 * np.log10(amps[True][1] / amps[False][1])
+        assert abs(keep_db) < 1.0, keep_db
+        assert cut_db == pytest.approx(-20.0, abs=1.5), cut_db
+
+
 class TestOtherDemods:
     def test_am(self):
         rx = _rx(demod=Demod.AM, filter_low_hz=-3000.0,

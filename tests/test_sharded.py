@@ -109,6 +109,35 @@ class TestShardedBatch:
         np.testing.assert_allclose(batched, streamed, atol=1e-3)
 
 
+class TestFleet:
+    def test_fleet_equals_per_stream_receivers(self):
+        """vmapped fleet over the mesh == independent Receivers, with
+        per-stream tune frequencies."""
+        from linrad_tpu.parallel import FleetRunner
+
+        p = RxParams(**_base())
+        fleet = FleetRunner(p, n_streams=8, k_steps=2,
+                            outputs=("audio",))
+        g = fleet.geo
+        rng = np.random.default_rng(4)
+        n = g.samples_per_step * 2
+        freqs = 12_000.0 + 50.0 * np.arange(8)
+        iq = np.stack([
+            (tones_iq(g.rx_ad_speed, n, [Tone(f + 400.0)])
+             + 0.01 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+             .astype(np.complex64))
+            for f in freqs])
+        fleet.tune(freqs)
+        got = fleet.process(iq)["audio"]
+        assert got.shape[0] == 8
+        for r in (0, 3, 7):
+            rx = Receiver(p)
+            rx.tune(freqs[r])
+            ref = np.concatenate(
+                [np.asarray(o.audio) for o in rx.run(iq[r])])
+            np.testing.assert_allclose(got[r], ref, atol=1e-3)
+
+
 class TestShardedAFC:
     def test_tracks_drift_across_mesh(self):
         """Per-frame AFC tuning in the sharded step: the mixer phase
