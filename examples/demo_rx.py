@@ -8,6 +8,7 @@ writes waterfall/audio artifacts.
     python examples/demo_rx.py [out_dir]
 """
 
+import os
 import sys
 import time
 
@@ -15,13 +16,20 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon site hook imports jax before this script runs, so the
+    # env var alone does not switch backends (CLAUDE.md) — force it
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from linrad_tpu import RxParams  # noqa: E402
 from linrad_tpu.io.siggen import impulse_noise, gaussian_noise  # noqa: E402
 from linrad_tpu.io.wav import write_wav  # noqa: E402
 from linrad_tpu.pipeline import Receiver  # noqa: E402
 from linrad_tpu.utils.timing import StepTimer  # noqa: E402
 from linrad_tpu.viz import Waterfall, save_pgm, spectrum_db  # noqa: E402
-from linrad_tpu.weak.cw import decode_morse, keyed_cw  # noqa: E402
+from linrad_tpu.weak.cw import (decode_morse, decode_morse_ml,  # noqa: E402
+                                keyed_cw)
 
 
 def main(out_dir: str = "/tmp/linrad_tpu_demo"):
@@ -78,7 +86,10 @@ def main(out_dir: str = "/tmp/linrad_tpu_demo"):
     print(f"blanker: {fitted} pulses subtracted")
 
     res = decode_morse(audio, g.baseband_sampling_speed)
-    print(f"decoded @ {res.wpm:.0f} WPM: {res.text!r}")
+    print(f"decoded (matched-filter) @ {res.wpm:.0f} WPM: {res.text!r}")
+    res_ml = decode_morse_ml(audio, g.baseband_sampling_speed)
+    print(f"decoded (ML grammar)     @ {res_ml.wpm:.0f} WPM:"
+          f" {res_ml.text!r}")
     print("expected:", repr(msg))
 
     write_wav(f"{out_dir}/audio.wav",

@@ -8,8 +8,10 @@ halos and overlap-add carries between neighbouring shards with
 ``lax.ppermute`` over ICI (SURVEY.md §7 sharding design)."""
 
 from .fleet import FleetRunner
+from .multihost import global_time_mesh, host_rows, scatter_step_block
 from .sharded import (ShardedBatchRunner, ShardedReceiver,
                       make_sharded_rx_step)
 
 __all__ = ["ShardedReceiver", "ShardedBatchRunner", "FleetRunner",
-           "make_sharded_rx_step"]
+           "make_sharded_rx_step", "global_time_mesh",
+           "scatter_step_block", "host_rows"]

@@ -201,6 +201,33 @@ class TestShardedSpur:
                                  / results[False][0])) < 3
 
 
+class TestMultihostIngest:
+    def test_scatter_feeds_sharded_step(self):
+        """scatter_step_block produces a global time-sharded array the
+        sharded step consumes; host_rows covers the whole block exactly
+        once (single-process degenerate case)."""
+        from linrad_tpu.parallel import (ShardedReceiver, global_time_mesh,
+                                         host_rows, scatter_step_block)
+
+        p8 = RxParams(**_base(), shards=8)
+        srx = ShardedReceiver(p8)
+        g = srx.geo
+        mesh = global_time_mesh()
+        lo, hi = host_rows(mesh, g)
+        assert (lo, hi) == (0, g.samples_per_step)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step,
+                      [Tone(12_400.0)])[:, None]
+        garr = scatter_step_block(mesh, g, iq)
+        assert garr.shape == (g.samples_per_step, 1)
+        srx.tune(12_000.0)
+        out_scatter = srx.process_block(garr)
+        srx2 = ShardedReceiver(p8)
+        srx2.tune(12_000.0)
+        out_plain = srx2.process_block(iq)
+        np.testing.assert_allclose(np.asarray(out_scatter.audio),
+                                   np.asarray(out_plain.audio), atol=1e-6)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
