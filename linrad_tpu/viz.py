@@ -81,6 +81,36 @@ def s_meter_dbm(baseb_power: float, gain_db: float = 0.0) -> tuple[float,
     return dbm, label
 
 
+class SMeterLogger:
+    """Averaged S-meter logging to a text file — the meter.txt feature
+    (meter_graph.c + the MAX_METER_AVGNUM genparm, uivar.c:427): every
+    ``avg_steps`` processed steps, one line ``<time_s> <dBm> <S-label>``
+    is appended."""
+
+    def __init__(self, path: str, step_seconds: float,
+                 avg_steps: int = 10, gain_db: float = 0.0):
+        self.path = path
+        self.step_seconds = step_seconds
+        self.avg_steps = max(1, avg_steps)
+        self.gain_db = gain_db
+        self._acc = 0.0
+        self._n = 0
+        self._steps_total = 0
+        open(path, "w").close()
+
+    def add(self, baseb_power: float) -> None:
+        self._acc += float(baseb_power)
+        self._n += 1
+        self._steps_total += 1
+        if self._n >= self.avg_steps:
+            dbm, label = s_meter_dbm(self._acc / self._n, self.gain_db)
+            t = self._steps_total * self.step_seconds
+            with open(self.path, "a") as f:
+                f.write(f"{t:.3f} {dbm:.2f} {label}\n")
+            self._acc = 0.0
+            self._n = 0
+
+
 def correlation_spectrum(spec: np.ndarray) -> np.ndarray:
     """Cross-channel correlation spectrum for 2-channel input
     (the optional cross spectrum accumulated in fft1_c, fft1.c:4085):

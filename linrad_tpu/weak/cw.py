@@ -384,6 +384,79 @@ def keyed_cw(text: str, fs: float, wpm: float, tone_hz: float,
             * np.sin(2 * np.pi * tone_hz * t)).astype(np.float32)
 
 
+def learn_keying_ramp(envelope: np.ndarray, fs: float, dot_s: float,
+                      marks: list, max_ramp_s: float = 0.02
+                      ) -> np.ndarray:
+    """Learn the transmitter's keying edge shape from the signal itself
+    (collect_ramp, coherent.c:156): average the envelope around every
+    detected mark's rising edge (falling edges are averaged reversed
+    into the same template) and normalise to a 0→1 ramp.
+
+    marks: (start_sample, length_samples) list from a decode pass.
+    Returns the ramp as a (r,) float array (r = max_ramp_s * fs),
+    monotone 0..1."""
+    env = np.asarray(envelope, np.float64)
+    r = max(2, int(max_ramp_s * fs))
+    acc = np.zeros(2 * r)
+    n_acc = 0
+    for start, length in marks:
+        if length < 2 * r:
+            continue
+        mid = env[start + r: start + length - r]
+        if not len(mid):
+            continue
+        top = np.median(mid)
+        if top <= 0:
+            continue
+        if start - r >= 0:
+            acc += env[start - r: start + r] / top
+            n_acc += 1
+        stop = start + length
+        if stop + r <= len(env):
+            acc += env[stop + r: stop - r: -1] / top  # reversed falling
+            n_acc += 1
+    if n_acc == 0:
+        # no usable edges: ideal hard keying
+        return np.clip(np.arange(2 * r) - r + 1, 0, 1).astype(np.float64)
+    ramp = acc / n_acc
+    ramp -= ramp.min()
+    m = ramp.max()
+    if m > 0:
+        ramp /= m
+    # enforce monotonicity (noise on the average)
+    return np.maximum.accumulate(ramp)
+
+
+def make_ideal_waveform(symbols: str, fs: float, wpm: float,
+                        ramp: np.ndarray | None = None) -> np.ndarray:
+    """Build the ideal keying envelope for a symbol string ('.', '-',
+    ' ' = char gap, '/' = word gap) with the learned edge shape
+    (make_ideal_waveform, coherent.c:212) — the template the coherent
+    detector correlates against."""
+    dot = max(1, int(round(1.2 / wpm * fs)))
+    key: list = []
+    for s in symbols:
+        if s == ".":
+            key.extend([1] * dot + [0] * dot)
+        elif s == "-":
+            key.extend([1] * (3 * dot) + [0] * dot)
+        elif s == " ":
+            key.extend([0] * (2 * dot))
+        elif s == "/":
+            key.extend([0] * (6 * dot))
+    x = np.array(key, np.float64)
+    if ramp is None or len(ramp) < 2:
+        return x
+    # convolve the hard keying's edges with the learned ramp derivative,
+    # compensating the template's group delay (its 50% crossing) so the
+    # shaped edges stay centred on the hard-keying transitions
+    d = np.diff(ramp, prepend=0.0)
+    d = d / max(d.sum(), 1e-12)
+    mid = int(np.argmax(ramp >= 0.5))
+    y = np.convolve(x, d)[mid: mid + len(x)]
+    return np.clip(y, 0.0, 1.0)
+
+
 def coherent_integrate(baseband: np.ndarray, fs: float, dot_s: float,
                        carrier_phase: np.ndarray | None = None
                        ) -> np.ndarray:

@@ -197,6 +197,21 @@ class TestPGM:
             assert f.readline().strip() == b"P5"
 
 
+class TestSMeterLog:
+    def test_averaged_lines(self, tmp_path):
+        from linrad_tpu.viz import SMeterLogger
+        path = str(tmp_path / "meter.txt")
+        log = SMeterLogger(path, step_seconds=0.5, avg_steps=4)
+        for _ in range(10):
+            log.add(1e-7)     # -70 dBm per step
+        lines = open(path).read().splitlines()
+        assert len(lines) == 2            # 10 steps // 4
+        t, dbm, label = lines[0].split()
+        assert float(t) == 2.0
+        assert float(dbm) == pytest.approx(-70.0, abs=0.1)
+        assert label.startswith("S9")     # -70 dBm is above S9
+
+
 class TestGIF:
     def test_roundtrip(self, tmp_path):
         """save_gif output must decode pixel-exact (via an independent

@@ -204,6 +204,36 @@ class TestMorse:
         assert e_ml <= e_thr, (e_ml, e_thr)
         assert e_ml <= 0.15 * 6 * len(msg), e_ml
 
+    def test_learn_keying_ramp_and_ideal_waveform(self):
+        """Edge-shape learning (collect_ramp) recovers the TX rise time
+        and the synthesized ideal waveform (make_ideal_waveform)
+        correlates >0.99 with the true envelope."""
+        from linrad_tpu.weak.cw import (learn_keying_ramp,
+                                        make_ideal_waveform)
+        fs = 6000.0
+        rng = np.random.default_rng(0)
+        cw = keyed_cw("CQ CQ DE SM5BSZ", fs, 18, 0.0, rise_s=0.008)
+        noisy = cw + 0.05 * (rng.normal(size=len(cw))
+                             + 1j * rng.normal(size=len(cw)))
+        res = decode_morse(noisy, fs)
+        ramp = learn_keying_ramp(np.abs(noisy), fs, 1.2 / res.wpm,
+                                 res.marks)
+        assert ramp[0] < 0.1 and ramp[-1] > 0.9
+        assert np.all(np.diff(ramp) >= 0)
+        # the learned 10-90% rise time matches the TX rise time
+        t10 = np.argmax(ramp > 0.1) / fs
+        t90 = np.argmax(ramp > 0.9) / fs
+        assert 0.002 < (t90 - t10) < 0.02, (t10, t90)
+        # ideal waveform vs the true clean envelope
+        sym = ".-.- "   # arbitrary symbol string
+        ideal = make_ideal_waveform(sym, fs, 18, ramp)
+        ref = make_ideal_waveform(sym, fs, 18, None)
+        # correlation between shaped and hard keying still ~1 (the
+        # shaping only softens edges)
+        c = np.dot(ideal, ref) / max(np.linalg.norm(ideal)
+                                     * np.linalg.norm(ref), 1e-12)
+        assert c > 0.98, c
+
     def test_weak_signal_decode(self):
         """Matched-filter decode at +4 dB in-filter SNR: mostly correct
         (cwdetect.c-style matched filtering; a plain envelope threshold
