@@ -222,6 +222,62 @@ def bench_cpu_reference(max_seconds: float = 20.0) -> float:
     return reps * n / dt / 1e6
 
 
+def bench_scaling(k_steps: int = 8, dispatches: int = 6,
+                  **overrides) -> dict:
+    """Scaling-efficiency measurement for N≥2 devices (BASELINE.md
+    target: ≥0.8 on 2+ hosts).  Runs the fleet (independent receivers,
+    the embarrassingly-parallel production mode) on 1 device and on all
+    devices and reports throughput and efficiency.  On this repo's
+    1-chip environment it only measures the trivial N=1 case; run on a
+    pod slice (optionally after jax.distributed.initialize) for the
+    real number.  Not part of main() — invoke as
+    `python -c "import bench; print(bench.bench_scaling())"`."""
+    import jax
+    import jax.numpy as jnp
+
+    from linrad_tpu.parallel.fleet import FleetRunner
+
+    devs = jax.devices()
+    out = {"devices": len(devs)}
+    rng = np.random.default_rng(0)
+
+    def run(devices):
+        d = len(devices)
+        fl = FleetRunner(_params(**overrides), n_streams=d,
+                         k_steps=k_steps, outputs=("audio",),
+                         devices=devices)
+        n = fl.geo.samples_per_step
+        t = np.arange(n)
+        sig = (np.exp(2j * np.pi * 0.13 * t)
+               + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+               ).astype(np.complex64)
+        blocks = jnp.asarray(np.broadcast_to(
+            sig[None, None, :, None], (k_steps, d, n, 1)).copy())
+        blocks = jax.device_put(blocks, fl._stream_sharding)
+        state = fl.state
+        for _ in range(2):
+            state, outs = fl._run_k(fl.tables, state, blocks,
+                                    fl._tune_bins)
+        jax.block_until_ready(outs)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(dispatches):
+                state, outs = fl._run_k(fl.tables, state, blocks,
+                                        fl._tune_bins)
+            jax.block_until_ready(outs)
+            dt = time.perf_counter() - t0
+            best = max(best, dispatches * k_steps * n * d / dt / 1e6)
+        return best
+
+    out["msps_1dev"] = run(devs[:1])
+    if len(devs) > 1:
+        out["msps_all"] = run(devs)
+        out["efficiency"] = (out["msps_all"]
+                             / (out["msps_1dev"] * len(devs)))
+    return out
+
+
 def main():
     # batched throughput mode is the headline.  Candidate configs are
     # tried fastest-first; any whose fresh compile hits the intermittent

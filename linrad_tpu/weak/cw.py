@@ -309,7 +309,6 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
                 if sc > best:
                     best = sc
                     arg = (t, d)
-        # a trailing space may also extend the initial silence
         bs[j] = best
         ptr_s[j] = arg
     # backtrack from the better terminal state
