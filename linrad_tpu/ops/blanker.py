@@ -111,7 +111,8 @@ class BlankerState:
 def clever_blanker(weak: jax.Array, pwr: jax.Array,
                    tables: BlankerTables, noise_floor: jax.Array,
                    limit_amp: float, pulsewidth: int, max_pulses: int,
-                   block_size: int = 256, rounds: int = 0
+                   block_size: int = 256, rounds: int = 0,
+                   eligible: jax.Array | None = None
                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fit-and-subtract up to ``max_pulses`` pulses from the weak stream.
 
@@ -134,15 +135,19 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
     the sequential order); the sequential depth drops from
     ``max_pulses`` to ``rounds`` while each round is one batched
     gather/fit/scatter.
+
+    ``eligible`` (S,) bool restricts *candidate centres* (fit windows
+    still read every sample) — the sharded path marks halo samples
+    ineligible so each pulse is fitted by exactly one shard.
     """
     if rounds:
         return _clever_blanker_parallel(weak, pwr, tables, noise_floor,
                                         limit_amp, pulsewidth, rounds,
-                                        block_size or 256)
+                                        block_size or 256, eligible)
     if block_size:
         return _clever_blanker_blocked(weak, pwr, tables, noise_floor,
                                        limit_amp, pulsewidth, max_pulses,
-                                       block_size)
+                                       block_size, eligible)
     s, c = weak.shape
     pul = tables.refbank.shape[1]
     half = pul // 2
@@ -151,7 +156,8 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
 
     wpad = jnp.pad(weak, ((pul, pul), (0, 0)))
     ppad = jnp.pad(pwr, (pul, pul))
-    active = jnp.pad(jnp.ones(s, bool), (pul, pul))
+    act0 = jnp.ones(s, bool) if eligible is None else eligible
+    active = jnp.pad(act0, (pul, pul))
 
     def body(i, carry):
         # iterations after the last candidate are masked no-ops (`valid`
@@ -252,7 +258,7 @@ def _fit_subtract(wpad, ppad, tables, pw, p, valid):
 
 
 def _clever_blanker_blocked(weak, pwr, tables, noise_floor, limit_amp,
-                            pulsewidth, max_pulses, blk):
+                            pulsewidth, max_pulses, blk, eligible=None):
     """Hierarchical candidate search: incrementally-maintained block
     maxima make each sequential iteration O(S/blk + blk) instead of
     O(S).  Selection order matches the flat scan (the global argmax is
@@ -271,7 +277,8 @@ def _clever_blanker_blocked(weak, pwr, tables, noise_floor, limit_amp,
     trail = total - s - lead
     wpad = jnp.pad(weak, ((lead, trail), (0, 0)))
     ppad = jnp.pad(pwr, (lead, trail))
-    active = jnp.pad(jnp.ones(s, bool), (lead, trail))
+    act0 = jnp.ones(s, bool) if eligible is None else eligible
+    active = jnp.pad(act0, (lead, trail))
     candp = jnp.where(active, ppad, -1.0)
     nblk = total // blk
     bmax = jnp.max(candp.reshape(nblk, blk), axis=1)
@@ -309,7 +316,7 @@ def _clever_blanker_blocked(weak, pwr, tables, noise_floor, limit_amp,
 
 
 def _clever_blanker_parallel(weak, pwr, tables, noise_floor, limit_amp,
-                             pulsewidth, rounds, blk):
+                             pulsewidth, rounds, blk, eligible=None):
     """Round-parallel fit-subtract: every round fits the strongest
     candidate of each locally-dominant block simultaneously.
 
@@ -339,7 +346,8 @@ def _clever_blanker_parallel(weak, pwr, tables, noise_floor, limit_amp,
     trail = total - s - lead
     wpad = jnp.pad(weak, ((lead, trail), (0, 0)))
     ppad = jnp.pad(pwr, (lead, trail))
-    candp = jnp.pad(pwr, (lead, trail), constant_values=-1.0)
+    cand0 = pwr if eligible is None else jnp.where(eligible, pwr, -1.0)
+    candp = jnp.pad(cand0, (lead, trail), constant_values=-1.0)
     nblk = total // blk
     bidx = jnp.arange(nblk, dtype=jnp.int32)
     rel = jnp.arange(pul, dtype=jnp.int32) - half            # (pul,)

@@ -56,6 +56,14 @@ def _from_left(x: jax.Array, axis_name: str = AXIS) -> jax.Array:
     return jax.lax.ppermute(x, axis_name, perm)
 
 
+def _from_right(x: jax.Array, axis_name: str = AXIS) -> jax.Array:
+    """Value of ``x`` on the right neighbour (shard d+1); zeros on the
+    last shard."""
+    d = jax.lax.axis_size(axis_name)
+    perm = [(i + 1, i) for i in range(d - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
 def _pick_last(x: jax.Array, axis_name: str = AXIS) -> jax.Array:
     """Broadcast the last shard's ``x`` to every shard (replicated)."""
     d = jax.lax.axis_size(axis_name)
@@ -172,15 +180,40 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
             n_fit = jnp.int32(0)
             n_clear = jnp.int32(0)
             if p.blanker_enable:
-                # blankers run shard-locally (pulses are microseconds
-                # long; only pulses straddling a shard edge see reduced
-                # suppression, like Linrad's bounded blanker chunks)
-                weak, wpwr, n_fit = blanker_ops.clever_blanker(
-                    weak, wpwr, tables.blanker, nf, p.clever_bln_limit,
+                # clever blanker with cross-shard halos: each shard sees
+                # one fit-window of neighbour samples so boundary pulses
+                # are fitted whole; candidate *centres* stay shard-owned
+                # (eligible mask), and the corrections a fit writes into
+                # neighbour territory are shipped back over ICI and
+                # applied (subtractions are linear, so they compose)
+                halo = tables.blanker.refbank.shape[1]
+                ext_w = jnp.concatenate(
+                    [_from_left(weak[-halo:]), weak,
+                     _from_right(weak[:halo])])
+                ext_p = jnp.concatenate(
+                    [_from_left(wpwr[-halo:]), wpwr,
+                     _from_right(wpwr[:halo])])
+                n_local = weak.shape[0]
+                elig = jnp.pad(jnp.ones(n_local, bool), (halo, halo))
+                ext_w0_l = ext_w[:halo]
+                ext_w0_r = ext_w[-halo:]
+                ext_w, ext_p, n_fit = blanker_ops.clever_blanker(
+                    ext_w, ext_p, tables.blanker, nf, p.clever_bln_limit,
                     blanker_pulsewidth,
                     max(1, p.max_pulses_per_block // d),
                     block_size=p.blanker_block_size,
-                    rounds=p.blanker_rounds)
+                    rounds=p.blanker_rounds, eligible=elig)
+                weak = ext_w[halo: halo + n_local]
+                # ship halo corrections to their owners and re-derive
+                # the power over the touched edges
+                dl = ext_w[:halo] - ext_w0_l          # belongs left
+                dr = ext_w[-halo:] - ext_w0_r         # belongs right
+                add_r = _from_right(dl)               # my tail samples
+                add_l = _from_left(dr)                # my head samples
+                weak = weak.at[-halo:].add(add_r)
+                weak = weak.at[:halo].add(add_l)
+                wpwr = jnp.sum(jnp.real(weak) ** 2 + jnp.imag(weak) ** 2,
+                               axis=-1)
                 weak, wpwr, n_clear = blanker_ops.stupid_blanker(
                     weak, wpwr, nf, p.stupid_bln_limit, blanker_pulsewidth)
                 n_fit = jax.lax.psum(n_fit, AXIS)

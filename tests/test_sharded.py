@@ -79,6 +79,41 @@ class TestShardedWideband:
         assert rel < 0.05, rel
 
 
+class TestShardedBoundaryPulses:
+    def test_straddling_pulse_subtracted_whole(self):
+        """Pulses centred exactly on shard boundaries must be suppressed
+        like on a single device (halo exchange + correction ship-back —
+        without it the neighbour's half of the pulse survived)."""
+        p8 = RxParams(**_base(second_fft_enable=True, blanker_enable=True,
+                              clever_bln_limit=6.0, stupid_bln_limit=1e9,
+                              max_pulses_per_block=64), shards=8)
+        srx = ShardedReceiver(p8)
+        g = srx.geo
+        rng = np.random.default_rng(9)
+        fs = g.rx_ad_speed
+        n = g.samples_per_step * 3
+        iq = (tones_iq(fs, n, [Tone(12_400.0)])
+              + ((rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.02
+                 ).astype(np.complex64))
+        shard = g.samples_per_step // 8
+        # place strong pulses ON the shard boundaries of step 2
+        base = 2 * g.samples_per_step
+        for b in (1, 3, 5, 7):
+            iq[base + b * shard] += 40.0
+        srx.tune(12_000.0)
+        outs = list(srx.run(iq))
+        rx = Receiver(p8)
+        rx.tune(12_000.0)
+        outs1 = list(rx.run(iq))
+        fit_s = sum(int(o.blanker_fitted) for o in outs)
+        fit_1 = sum(int(o.blanker_fitted) for o in outs1)
+        assert fit_s >= fit_1 - 1, (fit_s, fit_1)
+        zs = np.concatenate([np.asarray(o.baseb) for o in outs])
+        z1 = np.concatenate([np.asarray(o.baseb) for o in outs1])
+        rel = np.abs(zs - z1).max() / np.abs(z1).max()
+        assert rel < 0.02, rel
+
+
 class TestShardedBatch:
     def test_batched_equals_streamed(self):
         """K sharded steps per dispatch (lax.scan around the shard_map
