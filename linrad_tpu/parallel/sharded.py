@@ -214,8 +214,23 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                 weak = weak.at[:halo].add(add_l)
                 wpwr = jnp.sum(jnp.real(weak) ** 2 + jnp.imag(weak) ** 2,
                                axis=-1)
-                weak, wpwr, n_clear = blanker_ops.stupid_blanker(
-                    weak, wpwr, nf, p.stupid_bln_limit, blanker_pulsewidth)
+                # stupid blanker on the halo-extended stream: its
+                # widening reach is ≤ pulsewidth+1 < halo, so runs that
+                # cross a shard edge widen exactly as on one device
+                # (read-only halos, own region sliced back out)
+                sw = jnp.concatenate(
+                    [_from_left(weak[-halo:]), weak,
+                     _from_right(weak[:halo])])
+                sp = jnp.concatenate(
+                    [_from_left(wpwr[-halo:]), wpwr,
+                     _from_right(wpwr[:halo])])
+                sw2, sp2, _ = blanker_ops.stupid_blanker(
+                    sw, sp, nf, p.stupid_bln_limit, blanker_pulsewidth)
+                pre = wpwr
+                weak = sw2[halo: halo + n_local]
+                wpwr = sp2[halo: halo + n_local]
+                n_clear = jnp.sum(((wpwr == 0.0) & (pre > 0.0))
+                                  .astype(jnp.int32))
                 n_fit = jax.lax.psum(n_fit, AXIS)
                 n_clear = jax.lax.psum(n_clear, AXIS)
             mean = jax.lax.pmean(blanker_ops.despiked_mean(wpwr), AXIS)
