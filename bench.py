@@ -222,6 +222,47 @@ def bench_cpu_reference(max_seconds: float = 20.0) -> float:
     return reps * n / dt / 1e6
 
 
+def chain_flops_per_sample(geo) -> float:
+    """Analytic FLOPs per input sample through the wideband+narrowband
+    chain (complex radix FFT ≈ 5·N·log2(N) real FLOPs), for roofline
+    accounting.  Windowing/calibration/blanker/elementwise work is
+    counted at 1 complex MAC (8 FLOPs) per touch."""
+    import math
+
+    def fft(n):
+        return 5.0 * n * math.log2(n)
+
+    f = 0.0
+    # fft1: one N1 FFT per hop of new samples (+ window + calibration)
+    f += (fft(geo.fft1_size) + 16 * geo.fft1_size) / geo.fft1_new_points
+    if geo.second_fft_enable:
+        # back transform: two inverse FFTs (weak/strong) + OLA
+        f += 2 * (fft(geo.fft1_size) + 8 * geo.fft1_size) \
+            / geo.fft1_new_points
+        # fft2
+        f += (fft(geo.fft2_size) + 8 * geo.fft2_size) \
+            / geo.fft2_new_points
+    # mix1 inverse FFT over the decimated selection
+    f += (fft(geo.mix1_size) + 8 * geo.mix1_size) / geo.fftx_new_points
+    # narrowband (fft3 + mix2 ifft) on the decimated stream
+    decim = geo.timf1_sampling_speed / geo.timf3_sampling_speed
+    f += ((fft(geo.fft3_size) + 8 * geo.fft3_size) / geo.fft3_new_points
+          + (fft(geo.mix2_size) + 8 * geo.mix2_size)
+          / geo.fft3_new_points) / decim
+    return f
+
+
+def bench_roofline(msps: float, **overrides) -> dict:
+    """Translate a measured Msamples/s into achieved TFLOP/s through
+    the chain (the BASELINE 'kernels at roofline' accounting)."""
+    from linrad_tpu import derive_geometry
+
+    geo = derive_geometry(_params(**overrides))
+    fps = chain_flops_per_sample(geo)
+    return {"flops_per_sample": round(fps, 1),
+            "achieved_tflops": round(msps * 1e6 * fps / 1e12, 1)}
+
+
 def bench_scaling(k_steps: int = 8, dispatches: int = 6,
                   **overrides) -> dict:
     """Scaling-efficiency measurement for N≥2 devices (BASELINE.md
