@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.pytree import pytree_dataclass
 from ..utils.scanops import one_pole
@@ -91,6 +92,61 @@ def fm_deemphasis(audio: jax.Array, fs: float, tau_us: float,
     Returns (audio, carry)."""
     a = jnp.exp(-1.0 / (fs * tau_us * 1e-6)).astype(jnp.float32)
     return one_pole(audio, a, y0, axis=0)
+
+
+def wfm_stereo_decode(composite: jax.Array, fs: float,
+                      audio_cut_hz: float = 15_000.0,
+                      pilot_hz: float = 19_000.0
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Broadcast-WFM stereo decode of an FM-demodulated composite
+    (the fm.c wideband-stereo pilot path, fm.c:373-420): correlate the
+    19 kHz pilot against a complex exponential to recover its phase,
+    coherently demodulate the 38 kHz DSB L-R subcarrier with the doubled
+    pilot phase, low-pass both channels, and matrix to L/R.
+
+    Vectorized over the whole block (FFT filtering instead of the
+    reference's FIR ring walks).  composite: (n,) float at fs (must
+    exceed ~2*53 kHz).  Returns (left, right, pilot_power_ratio)."""
+    x = composite.astype(jnp.float32)
+    n = x.shape[0]
+    t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs)
+    # pilot phase from the whole-block correlation (fm.c:381-393)
+    ref = jnp.exp(-2j * jnp.pi * jnp.float32(pilot_hz) * t)
+    pil = jnp.sum(x * ref) * (2.0 / n)
+    pilot_pwr = jnp.abs(pil) ** 2 / jnp.maximum(jnp.mean(x * x), 1e-20)
+    ph = jnp.angle(pil)
+    # 38 kHz coherent subcarrier at doubled pilot phase.  The standard
+    # ties the subcarrier's positive-slope zero crossings to the
+    # pilot's: pilot = sin(theta) = cos(omega*t + ph) with
+    # theta = omega*t + ph + pi/2, subcarrier = sin(2*theta)
+    # = -sin(2*(omega*t + ph))
+    sub = -jnp.sin(2 * (2 * jnp.pi * jnp.float32(pilot_hz) * t + ph))
+    lmr_raw = 2.0 * x * sub
+    # FFT brick-wall low-pass with raised-cosine edge at audio_cut_hz
+    freqs = jnp.abs(jnp.fft.fftfreq(n, 1.0 / fs)).astype(jnp.float32)
+    edge = 0.1 * audio_cut_hz
+    gain = jnp.clip((audio_cut_hz + edge - freqs) / edge, 0.0, 1.0)
+    gain = jnp.sin(0.5 * jnp.pi * gain) ** 2
+
+    def lp(sig):
+        return jnp.real(jnp.fft.ifft(jnp.fft.fft(sig) * gain))
+
+    lpr = lp(x)          # L+R (the mono signal, already ≤15 kHz + trash)
+    lmr = lp(lmr_raw)    # L-R
+    return 0.5 * (lpr + lmr), 0.5 * (lpr - lmr), pilot_pwr
+
+
+def wfm_stereo_encode(left: np.ndarray, right: np.ndarray, fs: float,
+                      pilot_level: float = 0.1,
+                      pilot_hz: float = 19_000.0) -> np.ndarray:
+    """Test-vector generator: the standard stereo multiplex
+    (L+R)/2 + pilot·sin(theta) + (L-R)/2·sin(2·theta) — the subcarrier
+    crosses zero upward together with the pilot (FCC/ITU phasing)."""
+    t = np.arange(len(left)) / fs
+    return ((left + right) / 2
+            + pilot_level * np.sin(2 * np.pi * pilot_hz * t)
+            + ((left - right) / 2) * np.sin(4 * np.pi * pilot_hz * t)
+            ).astype(np.float32)
 
 
 @pytree_dataclass
