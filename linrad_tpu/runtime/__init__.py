@@ -25,8 +25,8 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO,
-           _SRC]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -67,6 +67,9 @@ def get_lib():
         lib.lrt_ring_write.restype = i64
         lib.lrt_ring_read.argtypes = [p, p, i64]
         lib.lrt_ring_read.restype = i64
+        lib.lrt_prefetch_start.argtypes = [ctypes.c_char_p, i64, i64, p]
+        lib.lrt_prefetch_start.restype = p
+        lib.lrt_prefetch_join.argtypes = [p]
         _lib = lib
         return _lib
 
@@ -220,17 +223,25 @@ class Ring:
 
 
 class FilePrefetcher:
-    """Background-thread file reader feeding a Ring — the replacement
-    for the reference's file-input thread (THREAD_RX_FILE_INPUT,
-    SURVEY.md §3.5) so disk I/O overlaps device compute."""
+    """Background file reader feeding a Ring — the replacement for the
+    reference's file-input thread (THREAD_RX_FILE_INPUT, SURVEY.md §3.5)
+    so disk I/O overlaps device compute.  With the native library the
+    whole disk -> ring path is a C++ thread (off the GIL); otherwise a
+    Python thread."""
 
     def __init__(self, path: str, block_bytes: int,
                  ring_bytes: int = 1 << 24, offset: int = 0):
         self.ring = Ring(ring_bytes)
         self.block_bytes = block_bytes
-        self._t = threading.Thread(target=self._run,
-                                   args=(path, offset), daemon=True)
-        self._t.start()
+        self._lib = get_lib()
+        self._h = None
+        if self._lib is not None and self.ring._lib is not None:
+            self._h = self._lib.lrt_prefetch_start(
+                path.encode(), offset, block_bytes, self.ring._h)
+        else:
+            self._t = threading.Thread(target=self._run,
+                                       args=(path, offset), daemon=True)
+            self._t.start()
 
     def _run(self, path: str, offset: int):
         with open(path, "rb") as f:
@@ -244,3 +255,12 @@ class FilePrefetcher:
 
     def read_block(self) -> bytes:
         return self.ring.read(self.block_bytes)
+
+    def __del__(self):
+        try:
+            if self._h is not None:
+                self.ring.close()           # unblock the writer
+                self._lib.lrt_prefetch_join(self._h)
+                self._h = None
+        except Exception:
+            pass

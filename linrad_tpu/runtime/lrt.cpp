@@ -16,8 +16,11 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <mutex>
+#include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -96,6 +99,7 @@ void lrt_i32_to_f32(const int32_t* in, float* out, int64_t n,
                     float scale) {
   for (int64_t i = 0; i < n; ++i) out[i] = scale * (float)in[i];
 }
+
 
 // ---------------------------------------------------------------------------
 // SPSC byte ring buffer (z_BUFFERS.txt discipline: one creator advances
@@ -180,6 +184,47 @@ int64_t lrt_ring_read(void* h, uint8_t* data, int64_t n) {
     r->cv.notify_all();
   }
   return done;
+}
+
+// ---------------------------------------------------------------------------
+// native file-reader thread feeding a ring: the data-loader of the
+// framework (reference THREAD_RX_FILE_INPUT, lxsys.c / modesub.c:1022);
+// the whole disk -> ring path runs off the GIL
+// ---------------------------------------------------------------------------
+
+struct LrtPrefetch {
+  std::thread t;
+};
+
+void* lrt_prefetch_start(const char* path, int64_t offset,
+                         int64_t block_bytes, void* ring) {
+  auto* p = new LrtPrefetch();
+  std::string path_s(path);
+  auto* r = (LrtRing*)ring;
+  p->t = std::thread([path_s, offset, block_bytes, r]() {
+    FILE* f = fopen(path_s.c_str(), "rb");
+    if (f != nullptr) {
+      fseek(f, (long)offset, SEEK_SET);
+      std::vector<uint8_t> buf((size_t)block_bytes);
+      for (;;) {
+        size_t got = fread(buf.data(), 1, (size_t)block_bytes, f);
+        if (got == 0) break;
+        if (lrt_ring_write(r, buf.data(), (int64_t)got) <
+            (int64_t)got)
+          break;  // consumer closed the ring
+        if (got < (size_t)block_bytes) break;
+      }
+      fclose(f);
+    }
+    lrt_ring_close(r);
+  });
+  return p;
+}
+
+void lrt_prefetch_join(void* h) {
+  auto* p = (LrtPrefetch*)h;
+  if (p->t.joinable()) p->t.join();
+  delete p;
 }
 
 }  // extern "C"

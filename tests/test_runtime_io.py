@@ -68,6 +68,9 @@ class TestRing:
         with open(path, "wb") as f:
             f.write(payload)
         pf = runtime.FilePrefetcher(path, block_bytes=4096)
+        if runtime.get_lib() is not None:
+            # the disk->ring path must be the native C++ thread
+            assert pf._h is not None
         got = b""
         while True:
             b = pf.read_block()
@@ -75,6 +78,17 @@ class TestRing:
             if len(b) < 4096:
                 break
         assert got == payload
+
+    def test_prefetcher_early_abandon(self, tmp_path):
+        """Dropping the prefetcher mid-stream must not hang or leak the
+        native reader thread (close unblocks the writer, join reaps)."""
+        path = str(tmp_path / "big.bin")
+        with open(path, "wb") as f:
+            f.write(b"\x01" * (1 << 22))
+        pf = runtime.FilePrefetcher(path, block_bytes=4096,
+                                    ring_bytes=1 << 14)
+        assert len(pf.read_block()) == 4096   # ring is now full/filling
+        del pf                                # __del__ joins the thread
 
 
 class TestRawFile:
