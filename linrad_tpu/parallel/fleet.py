@@ -50,7 +50,7 @@ class FleetRunner:
         self.k = k_steps
         self.outputs = tuple(outputs)
         self.tables = RxTables.create(self.geo, params)
-        one = RxState.create(self.geo, spur=params.spur_enable)
+        one = RxState.create(self.geo, spur=params.spur_enable, pol=params.pol_adapt_enable)
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(),
             one)

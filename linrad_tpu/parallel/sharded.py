@@ -314,6 +314,13 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
         s_mix2, baseb, carrier = mix2_step(geo, tables.mix2, state.mix2,
                                            fft3_spec,
                                            with_carrier=with_carrier)
+        s_pol = state.pol
+        if p.pol_adapt_enable and geo.channels == 2:
+            from ..weak.pol import update_polarization
+            s_pol, combined, w = update_polarization(state.pol, baseb)
+            baseb = combined[:, None]
+            if carrier is not None:
+                carrier = (carrier @ jnp.conj(w))[:, None]
         s_bfo, s_am, s_fm, s_coh = (state.bfo, state.am, state.fm,
                                     state.coh)
         if p.demod == Demod.SSB:
@@ -355,7 +362,7 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                             fm=s_fm, coh=s_coh, agc=s_agc,
                             sellim=s_sellim, timf2=s_timf2, fft2=s_fft2,
                             blanker=s_blank, spur=s_spur,
-                            squelch=s_squelch)
+                            squelch=s_squelch, pol=s_pol)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power, fft1_avg_power=sumsq,
                             agc_gain=gain, fft2_power=fft2_power,
@@ -366,11 +373,11 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
     # everything except the input block is replicated; the block is
     # sharded along time
     state_spec = jax.tree_util.tree_map(
-        lambda _: P(), RxState.create(geo, spur=p.spur_enable))
+        lambda _: P(), RxState.create(geo, spur=p.spur_enable, pol=p.pol_adapt_enable))
     tables_spec = jax.tree_util.tree_map(lambda _: P(),
                                          RxTables.create(geo, p))
     out_spec = jax.tree_util.tree_map(
-        lambda _: P(), (RxState.create(geo, spur=p.spur_enable),
+        lambda _: P(), (RxState.create(geo, spur=p.spur_enable, pol=p.pol_adapt_enable),
                         _outputs_struct(geo, p)))
 
     tune_spec = P(AXIS) if per_frame_tune else P()
@@ -413,7 +420,7 @@ class ShardedReceiver:
         self.params = params
         self.geo = derive_geometry(params)
         self.tables = RxTables.create(self.geo, params)
-        self.state = RxState.create(self.geo, spur=params.spur_enable)
+        self.state = RxState.create(self.geo, spur=params.spur_enable, pol=params.pol_adapt_enable)
         pw = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables
@@ -484,7 +491,7 @@ class ShardedBatchRunner:
         self.k = k_steps
         self.outputs = tuple(outputs)
         self.tables = RxTables.create(self.geo, params)
-        self.state = RxState.create(self.geo, spur=params.spur_enable)
+        self.state = RxState.create(self.geo, spur=params.spur_enable, pol=params.pol_adapt_enable)
         pw = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables

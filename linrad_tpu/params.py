@@ -91,6 +91,9 @@ class RxParams:
     filter_shape: tuple = ()           # user-drawn filter curve: ((freq_hz,
                                        # gain_db), ...) dB breakpoints
                                        # (bg_filterfunc analog)
+    pol_adapt_enable: bool = False     # 2-channel adaptive polarization
+                                       # combination before demod
+                                       # (pol_graph.c, applied mix2-side)
 
     # --- squelch (update_squelch fft3.c:87; gate applied in rxout) ---
     squelch_enable: bool = False

@@ -38,6 +38,7 @@ from ..ops.mix2 import Mix2State, Mix2Tables, mix2_step
 from ..ops.sellim import SellimState
 from ..ops.squelch import SquelchState, expander, squelch_step
 from ..ops.timf2 import Timf2State, make_timf2_syn, timf2_step
+from ..weak.pol import PolState, update_polarization
 from ..weak.spur import SpurState, spur_subtract_step, window_template
 
 
@@ -93,14 +94,19 @@ class RxState:
     blanker: BlankerState | None
     spur: SpurState | None = None
     squelch: SquelchState | None = None
+    pol: PolState | None = None
 
     @classmethod
-    def create(cls, geo: Geometry, spur: bool = False) -> "RxState":
-        c = geo.channels
+    def create(cls, geo: Geometry, spur: bool = False,
+               pol: bool = False) -> "RxState":
+        # adaptive polarization combines the 2 channels into 1 before
+        # the detectors, so the demod/AGC state is single-channel then
+        c = 1 if pol else geo.channels
         wide = geo.second_fft_enable
         return cls(
             spur=SpurState.create(geo) if spur else None,
             squelch=SquelchState.create(),
+            pol=PolState.create() if pol else None,
             fft1=FFT1State.create(geo),
             mix1=Mix1State.create(geo),
             fft3=FFT3State.create(geo),
@@ -212,6 +218,15 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
         s_mix2, baseb, carrier = mix2_step(geo, tables.mix2, state.mix2,
                                            fft3_spec,
                                            with_carrier=with_carrier)
+        s_pol = state.pol
+        if p.pol_adapt_enable and geo.channels == 2:
+            # adaptive polarization: project the 2-channel baseband onto
+            # the dominant coherency eigenvector (pol_graph.c channel
+            # combination, applied in the mix2 path)
+            s_pol, combined, w = update_polarization(state.pol, baseb)
+            baseb = combined[:, None]
+            if carrier is not None:
+                carrier = (carrier @ jnp.conj(w))[:, None]
         s_bfo, s_am, s_fm, s_coh = state.bfo, state.am, state.fm, state.coh
         if p.demod == Demod.SSB:
             s_bfo, audio = demod_ops.bfo_ssb(state.bfo, baseb, p.bfo_hz,
@@ -250,7 +265,7 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
                             mix2=s_mix2, bfo=s_bfo, am=s_am, fm=s_fm,
                             coh=s_coh, agc=s_agc, sellim=s_sellim,
                             timf2=s_timf2, fft2=s_fft2, blanker=s_blank,
-                            spur=s_spur, squelch=s_squelch)
+                            spur=s_spur, squelch=s_squelch, pol=s_pol)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power,
                             fft1_avg_power=s_fft1.sumsq_avg,

@@ -68,7 +68,7 @@ class Receiver:
         self.params = params
         self.geo: Geometry = derive_geometry(params)
         self.tables = RxTables.create(self.geo, params, calibration)
-        self.state = RxState.create(self.geo, spur=params.spur_enable)
+        self.state = RxState.create(self.geo, spur=params.spur_enable, pol=params.pol_adapt_enable)
         self.blanker_pulsewidth = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables

@@ -167,6 +167,37 @@ class TestSSBChain:
         assert abs(fit_s - fit_b) <= max(2, fit_s // 10), (fit_s, fit_b)
 
 
+class TestPolAdapt:
+    def test_chain_polarization_gain(self):
+        """pol_adapt_enable combines the 2 RF channels on the dominant
+        coherency eigenvector before demod (the pol_graph.c channel
+        combination applied mix2-side): a 45-degree linearly polarized
+        tone with independent channel noise gains ~3 dB SNR over a
+        single channel, and the audio collapses to 1 channel."""
+        rng = np.random.default_rng(6)
+        snrs = {}
+        iq2 = None
+        for adapt in (False, True):
+            rx = _rx(rx_rf_channels=2, pol_adapt_enable=adapt)
+            g = rx.geo
+            if iq2 is None:
+                n = g.samples_per_step * 6
+                tone = tones_iq(g.rx_ad_speed, n, [Tone(12_400.0)])
+                noise = (0.3 * (rng.normal(size=(n, 2))
+                                + 1j * rng.normal(size=(n, 2)))
+                         ).astype(np.complex64)
+                iq2 = np.stack([tone, tone], 1) / np.sqrt(2) + noise
+            rx.tune(12_000.0)
+            z = np.concatenate(
+                [np.asarray(o.baseb) for o in rx.run(iq2)])
+            assert z.shape[1] == (1 if adapt else 2)
+            zz = z[len(z) // 2:, 0]
+            snrs[adapt] = _fit_tone_snr(zz, 400.0,
+                                        g.baseband_sampling_speed)
+        # matched combining of equal-SNR channels buys 3 dB over one
+        assert snrs[True] > snrs[False] + 2.0, snrs
+
+
 class TestWFMStereo:
     def test_pilot_locked_channel_separation(self):
         """WFM stereo decode (the fm.c wideband-stereo pilot path):

@@ -79,6 +79,28 @@ class TestShardedWideband:
         assert rel < 0.05, rel
 
 
+class TestShardedPol:
+    def test_pol_adapt_matches_single_device(self):
+        p8 = RxParams(**_base(rx_rf_channels=2, pol_adapt_enable=True),
+                      shards=8)
+        srx = ShardedReceiver(p8)
+        g = srx.geo
+        rng = np.random.default_rng(2)
+        n = g.samples_per_step * 2
+        tone = tones_iq(g.rx_ad_speed, n, [Tone(12_400.0)])
+        iq2 = (np.stack([tone, 0.5 * tone], 1)
+               + 0.05 * (rng.normal(size=(n, 2))
+                         + 1j * rng.normal(size=(n, 2))
+                         ).astype(np.complex64))
+        srx.tune(12_000.0)
+        rx = Receiver(p8)
+        rx.tune(12_000.0)
+        zs = np.concatenate([np.asarray(o.audio) for o in srx.run(iq2)])
+        z1 = np.concatenate([np.asarray(o.audio) for o in rx.run(iq2)])
+        assert zs.shape[1] == 1
+        np.testing.assert_allclose(zs, z1, atol=2e-4)
+
+
 class TestShardedBoundaryPulses:
     def test_straddling_pulse_subtracted_whole(self):
         """Pulses centred exactly on shard boundaries must be suppressed
