@@ -28,29 +28,15 @@ from .framing import overlap_add
 from .windows import synthesis_weights
 
 
-def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
-              edge_hz: float = 0.0, compensate_fqwin: bool = True,
-              notches: tuple = (), shape: tuple = ()) -> np.ndarray:
-    """Baseband filter in shifted mix2-bin order (the make_bg_filter
-    analog, reference baseb_graph.c:1246).
-
-    Passband [low_hz, high_hz] (relative to the tuned frequency, negative
-    = below carrier) with raised-cosine edges of width edge_hz, times the
-    1/mix1_fqwin passband compensation.
-
-    shape: the user-drawn filter curve (the reference's freehand
-    bg_filterfunc drawn with the mouse on the baseband graph) as
-    ((freq_hz, gain_db), ...) breakpoints, interpolated linearly in dB
-    across the passband and flat beyond the outermost points."""
-    m2 = geo.mix2_size
-    n3 = geo.fft3_size
-    fs3 = geo.timf3_sampling_speed
-    rel = np.where(np.arange(m2) < m2 // 2, np.arange(m2),
-                   np.arange(m2) - m2)
-    freq = rel * fs3 / n3
+def _filter_response(freq: np.ndarray, geo: Geometry, low_hz: float,
+                     high_hz: float, edge_hz: float = 0.0,
+                     compensate_fqwin: bool = True, notches: tuple = (),
+                     shape: tuple = ()) -> np.ndarray:
+    """Baseband filter magnitude response evaluated at ``freq`` Hz
+    (shared by the frequency-domain filter and the mixer_mode-2 FIR)."""
     if edge_hz <= 0:
         edge_hz = max(20.0, 0.02 * (high_hz - low_hz))
-    h = np.ones(m2)
+    h = np.ones(freq.shape[0])
     h *= np.clip((freq - (low_hz - edge_hz)) / edge_hz, 0.0, 1.0)
     h *= np.clip(((high_hz + edge_hz) - freq) / edge_hz, 0.0, 1.0)
     h = np.sin(0.5 * np.pi * h) ** 2  # raised-cosine edge
@@ -81,11 +67,73 @@ def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
     return h.astype(np.float32)
 
 
+def bg_filter(geo: Geometry, low_hz: float, high_hz: float,
+              edge_hz: float = 0.0, compensate_fqwin: bool = True,
+              notches: tuple = (), shape: tuple = ()) -> np.ndarray:
+    """Baseband filter in shifted mix2-bin order (the make_bg_filter
+    analog, reference baseb_graph.c:1246).
+
+    Passband [low_hz, high_hz] (relative to the tuned frequency, negative
+    = below carrier) with raised-cosine edges of width edge_hz, times the
+    1/mix1_fqwin passband compensation.
+
+    shape: the user-drawn filter curve (the reference's freehand
+    bg_filterfunc drawn with the mouse on the baseband graph) as
+    ((freq_hz, gain_db), ...) breakpoints, interpolated linearly in dB
+    across the passband and flat beyond the outermost points."""
+    m2 = geo.mix2_size
+    n3 = geo.fft3_size
+    fs3 = geo.timf3_sampling_speed
+    rel = np.where(np.arange(m2) < m2 // 2, np.arange(m2),
+                   np.arange(m2) - m2)
+    freq = rel * fs3 / n3
+    return _filter_response(freq, geo, low_hz, high_hz, edge_hz,
+                            compensate_fqwin, notches, shape)
+
+
+def basebraw_fir(geo: Geometry, p: RxParams,
+                 threshold: float = 1e-8) -> np.ndarray:
+    """Complex FIR taps for the mixer_mode-2 time-domain path.
+
+    The reference (baseb_graph.c:1540-1607) inverse-transforms the
+    baseband filter function, applies the fft3 window, symmetrises, and
+    truncates where taps fall below 1e-8 of the centre tap.  Here the
+    taps stay complex so an asymmetric passband (e.g. SSB) is realised
+    exactly instead of through the reference's real-symmetrised
+    approximation; linear phase is preserved.
+
+    Returned taps g[k] are applied as a correlation over a window of
+    ``len(g)`` timf3 samples centred on each output point.
+    """
+    n3 = geo.fft3_size
+    fs3 = geo.timf3_sampling_speed
+    rel = np.where(np.arange(n3) < n3 // 2, np.arange(n3),
+                   np.arange(n3) - n3)
+    freq = rel * fs3 / n3
+    resp = _filter_response(freq, geo, p.filter_low_hz, p.filter_high_hz,
+                            notches=p.notches, shape=p.filter_shape)
+    # zero outside the decimated band (mix2 selection = baseband Nyquist)
+    resp = resp * (np.abs(freq) < 0.5 * geo.baseband_sampling_speed)
+    # correlation taps: g[k'] = (1/N) sum_b H[b] e^{-2pi i b k'/N}
+    g = np.fft.ifft(resp.astype(np.complex128))
+    kprime = np.arange(n3) - n3 // 2          # centred tap index
+    taps = g[(-kprime) % n3]
+    # fft3 window applied over the full span before truncation
+    # (baseb_graph.c:1578-1583); ~1 near the centre where taps live
+    taps = taps * np.sin(np.pi * (np.arange(n3) + 0.5) / n3) ** 2
+    mag = np.abs(taps)
+    keep = np.nonzero(mag > threshold * mag.max())[0]
+    half = max(abs(int(keep[0]) - n3 // 2), abs(int(keep[-1]) - n3 // 2))
+    half = min(half, n3 // 2 - 1)
+    return taps[n3 // 2 - half:n3 // 2 + half + 1].astype(np.complex64)
+
+
 @pytree_dataclass(frozen=True)
 class Mix2Tables:
     filt: jax.Array       # (mix2_size,) float32 main filter
     carr_filt: jax.Array  # (mix2_size,) float32 narrow carrier filter
     syn: jax.Array        # (mix2_size,) float32 OLA synthesis weights
+    fir: jax.Array | None = None  # mixer_mode-2 complex taps
 
     @classmethod
     def create(cls, geo: Geometry, p: RxParams,
@@ -99,8 +147,10 @@ class Mix2Tables:
         m2 = geo.mix2_size
         interleave = m2 - geo.mix2_new_points
         syn = synthesis_weights(m2, interleave, geo.fft3_sinpow)
+        fir = (jnp.asarray(basebraw_fir(geo, p))
+               if getattr(p, "mixer_mode", 1) == 2 else None)
         return cls(filt=jnp.asarray(filt), carr_filt=jnp.asarray(carr),
-                   syn=jnp.asarray(syn, jnp.float32))
+                   syn=jnp.asarray(syn, jnp.float32), fir=fir)
 
 
 @pytree_dataclass
@@ -149,3 +199,47 @@ def mix2_step(geo: Geometry, tables: Mix2Tables, state: Mix2State,
                                       variant)
     return (Mix2State(ola_carry=carry, carr_ola_carry=carr_carry),
             baseb, carrier)
+
+
+def mix2_carrier_step(geo: Geometry, tables: Mix2Tables, state: Mix2State,
+                      spectra: jax.Array, variant: str | None = None
+                      ) -> tuple[Mix2State, jax.Array]:
+    """Carrier branch only (used with the mixer_mode-2 main path — the
+    reference builds carr_tmp from fft3 in both mixer modes,
+    mix2.c:246-262)."""
+    carrier, carr_carry = _branch(geo, spectra, tables.carr_filt,
+                                  tables.syn, state.carr_ola_carry, variant)
+    return (Mix2State(ola_carry=state.ola_carry,
+                      carr_ola_carry=carr_carry), carrier)
+
+
+@pytree_dataclass
+class Mix2FirState:
+    carry: jax.Array  # (fir_len - 1, C) complex64 timf3 history
+
+    @classmethod
+    def create(cls, geo: Geometry, fir_len: int) -> "Mix2FirState":
+        return cls(carry=jnp.zeros((fir_len - 1, geo.channels),
+                                   jnp.complex64))
+
+
+def mix2_fir_step(geo: Geometry, fir: jax.Array, state: Mix2FirState,
+                  timf3: jax.Array) -> tuple[Mix2FirState, jax.Array]:
+    """mixer_mode 2: decimating FIR straight on the timf3 stream
+    (reference mix2.c:217-245).
+
+    Output m correlates ``len(fir)`` timf3 samples starting at
+    ``m * resamp`` against the taps; the stride ``resamp =
+    fft3_size / mix2_size`` resamples timf3 to the baseband rate
+    exactly as the frequency-domain path does.  The windowed gather +
+    matvec form keeps shapes static and feeds the MXU as one
+    (M, K) @ (K,) contraction per step.
+    """
+    k = fir.shape[0]
+    resamp = geo.fft3_size // geo.mix2_size
+    xs = jnp.concatenate([state.carry, timf3], axis=0)
+    m = timf3.shape[0] // resamp
+    idx = np.arange(m)[:, None] * resamp + np.arange(k)[None, :]
+    baseb = jnp.einsum("mkc,k->mc", xs[idx], fir)
+    return (Mix2FirState(carry=xs[xs.shape[0] - (k - 1):]),
+            baseb.astype(jnp.complex64))

@@ -85,6 +85,9 @@ class RxParams:
     agc_release_ms: float = 250.0
     agc_hang_ms: float = 0.0
     agc_enable: bool = True
+    mixer_mode: int = 1                # bg.mixer_mode: 1 = frequency-domain
+                                       # filter (mix2.c:146), 2 = time-domain
+                                       # FIR decimator on timf3 (mix2.c:217)
     filter_low_hz: float = -1500.0     # baseband passband (user-drawn filter analog)
     filter_high_hz: float = 1500.0
     notches: tuple = ()                # ((freq_hz, width_hz), ...) baseband notches

@@ -34,7 +34,11 @@ class BatchRunner:
         self.k = k_steps
         self.outputs = tuple(outputs)
         self.tables = RxTables.create(self.geo, params, calibration)
-        self.state = RxState.create(self.geo, spur=params.spur_enable, pol=params.pol_adapt_enable)
+        self.state = RxState.create(
+            self.geo, spur=params.spur_enable,
+            pol=params.pol_adapt_enable,
+            fir_len=(int(self.tables.mix2.fir.shape[0])
+                     if self.tables.mix2.fir is not None else 0))
         pw = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables

@@ -34,7 +34,8 @@ from ..ops.fft1 import FFT1State, FFT1Tables, fft1_step
 from ..ops.fft2 import FFT2State, FFT2Tables, fft2_step
 from ..ops.fft3 import FFT3State, FFT3Tables, fft3_step
 from ..ops.mix1 import Mix1State, Mix1Tables, mix1_step
-from ..ops.mix2 import Mix2State, Mix2Tables, mix2_step
+from ..ops.mix2 import (Mix2FirState, Mix2State, Mix2Tables,
+                        mix2_carrier_step, mix2_fir_step, mix2_step)
 from ..ops.sellim import SellimState
 from ..ops.squelch import SquelchState, expander, squelch_step
 from ..ops.timf2 import Timf2State, make_timf2_syn, timf2_step
@@ -95,10 +96,11 @@ class RxState:
     spur: SpurState | None = None
     squelch: SquelchState | None = None
     pol: PolState | None = None
+    mix2_fir: Mix2FirState | None = None  # mixer_mode-2 timf3 history
 
     @classmethod
     def create(cls, geo: Geometry, spur: bool = False,
-               pol: bool = False) -> "RxState":
+               pol: bool = False, fir_len: int = 0) -> "RxState":
         # adaptive polarization combines the 2 channels into 1 before
         # the detectors, so the demod/AGC state is single-channel then
         c = 1 if pol else geo.channels
@@ -120,6 +122,8 @@ class RxState:
             timf2=Timf2State.create(geo) if wide else None,
             fft2=FFT2State.create(geo) if wide else None,
             blanker=BlankerState.create(geo) if wide else None,
+            mix2_fir=(Mix2FirState.create(geo, fir_len) if fir_len
+                      else None),
         )
 
 
@@ -215,9 +219,20 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
         s_mix1, timf3 = mix1_step(geo, tables.mix1, state.mix1, fftx_spec,
                                   tune_bin)
         s_fft3, fft3_spec = fft3_step(geo, tables.fft3, state.fft3, timf3)
-        s_mix2, baseb, carrier = mix2_step(geo, tables.mix2, state.mix2,
-                                           fft3_spec,
-                                           with_carrier=with_carrier)
+        s_fir = state.mix2_fir
+        if p.mixer_mode == 2:
+            # time-domain FIR decimator (mix2.c:217-245); the carrier
+            # branch still comes from fft3 (mix2.c:246 runs either way)
+            s_fir, baseb = mix2_fir_step(geo, tables.mix2.fir,
+                                         state.mix2_fir, timf3)
+            s_mix2, carrier = state.mix2, None
+            if with_carrier:
+                s_mix2, carrier = mix2_carrier_step(
+                    geo, tables.mix2, state.mix2, fft3_spec)
+        else:
+            s_mix2, baseb, carrier = mix2_step(geo, tables.mix2,
+                                               state.mix2, fft3_spec,
+                                               with_carrier=with_carrier)
         s_pol = state.pol
         if p.pol_adapt_enable and geo.channels == 2:
             # adaptive polarization: project the 2-channel baseband onto
@@ -265,7 +280,8 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
                             mix2=s_mix2, bfo=s_bfo, am=s_am, fm=s_fm,
                             coh=s_coh, agc=s_agc, sellim=s_sellim,
                             timf2=s_timf2, fft2=s_fft2, blanker=s_blank,
-                            spur=s_spur, squelch=s_squelch, pol=s_pol)
+                            spur=s_spur, squelch=s_squelch, pol=s_pol,
+                            mix2_fir=s_fir)
         outputs = RxOutputs(audio=audio, baseb=baseb,
                             fft1_power=step_power,
                             fft1_avg_power=s_fft1.sumsq_avg,

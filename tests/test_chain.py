@@ -71,6 +71,46 @@ class TestSSBChain:
         snr = _fit_tone_snr(zz, 300.0, g.baseband_sampling_speed)
         assert snr > 60.0, snr
 
+    def test_mixer_mode2_fir_amplitude_and_purity(self):
+        # time-domain FIR decimator path (mix2.c:217-245), with real
+        # decimation (mix2_reduction_n=2 -> stride 4)
+        rx = _rx(mixer_mode=2, mix2_reduction_n=2, demod=Demod.NONE)
+        g = rx.geo
+        fc, delta = 12_000.0, 150.0
+        rx.tune(fc)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 10,
+                      [Tone(fc + delta)])
+        z = rx.process(iq)["baseb"][:, 0]
+        zz = z[len(z) // 3:]
+        snr = _fit_tone_snr(zz, delta, g.baseband_sampling_speed)
+        assert snr > 60.0, snr
+        assert np.abs(zz).mean() == pytest.approx(1.0, rel=2e-2)
+
+    def test_mixer_mode2_matches_frequency_domain_path(self):
+        # both mixer modes realise the same filter: equal tone gain in
+        # the passband, and the FIR must reject a tone the
+        # frequency-domain filter rejects
+        common = dict(mix2_reduction_n=2, demod=Demod.NONE,
+                      filter_low_hz=-400.0, filter_high_hz=400.0)
+        amps = {}
+        for mode in (1, 2):
+            rx = _rx(mixer_mode=mode, **common)
+            g = rx.geo
+            rx.tune(12_000.0)
+            iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 8,
+                          [Tone(12_150.0),
+                           Tone(12_000.0 + 0.45
+                                * g.baseband_sampling_speed,
+                                amplitude=10.0)])
+            z = rx.process(iq)["baseb"][:, 0]
+            zz = z[len(z) // 3:]
+            t = np.arange(len(zz)) / g.baseband_sampling_speed
+            amps[mode] = np.abs(np.vdot(np.exp(2j * np.pi * 150.0 * t),
+                                        zz) / len(zz))
+            snr = _fit_tone_snr(zz, 150.0, g.baseband_sampling_speed)
+            assert snr > 40.0, (mode, snr)
+        assert amps[2] == pytest.approx(amps[1], rel=2e-2)
+
     def test_retune_without_recompile(self):
         rx = _rx()
         g = rx.geo
