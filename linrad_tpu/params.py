@@ -62,6 +62,12 @@ class RxParams:
     input_mode: InputMode = InputMode.IQ
     rx_rf_channels: int = 1            # 1 or 2 (dual polarization)
 
+    # --- frequency control (freq_control.c / ui.converter_mode) ---
+    converter_offset_hz: float = 0.0   # LO of an external up/down
+                                       # converter ahead of the SDR
+    passband_direction: int = 1        # -1 when the converter inverts
+                                       # the spectrum (fg.passband_direction)
+
     # --- first FFT (genparm FIRST_FFT_*) ---
     first_fft_sinpow: int = 2          # window sin^N; 0=none, 1..4, 8=gauss, 9=erfc
     first_fft_bandwidth: float = 100.0  # desired fft1 bin bandwidth in Hz (0 => max size)

@@ -115,6 +115,30 @@ class Receiver:
             fn(self, *args)
 
     # ---- tuning -------------------------------------------------------
+    # RF-dial frequency control (the freq_control.c graph: hardware
+    # frequency = passband centre + converter offset, with optional
+    # spectrum inversion).  center_frequency_hz is the recording's RF
+    # centre (fg.passband_center) — set explicitly or auto-filled from
+    # a WAV's Perseus rcvr / SpectraVue auxi metadata in run_file().
+    center_frequency_hz: float = 0.0
+
+    def tune_rf(self, rf_hz: float) -> None:
+        """Tune to an absolute RF frequency (dial frequency), mapping
+        through the converter offset and passband direction."""
+        p = self.params
+        base = rf_hz - p.converter_offset_hz - self.center_frequency_hz
+        if p.passband_direction < 0:
+            base = -base
+        self.tune(base)
+
+    @property
+    def tuned_rf_hz(self) -> float:
+        base = self.tuned_hz
+        if self.params.passband_direction < 0:
+            base = -base
+        return (base + self.center_frequency_hz
+                + self.params.converter_offset_hz)
+
     def tune(self, freq_hz: float) -> None:
         """Select the mix1 centre frequency (quantised to an fftx bin,
         like the reference's frequency selection into mix1_selfreq)."""
@@ -215,7 +239,7 @@ class Receiver:
         (runtime ring buffer + background reader — the
         THREAD_RX_FILE_INPUT analog, SURVEY.md §3.5): disk I/O overlaps
         device compute.  Yields RxOutputs per step."""
-        from ..io.wav import read_wav
+        from ..io.wav import AuxiChunk, RcvrChunk, read_wav
         from .. import runtime
 
         # parse the header once to learn the layout, then stream the
@@ -233,6 +257,13 @@ class Receiver:
                 cid, csize = _s.unpack("<4sI", hdr)
                 if cid == b"fmt ":
                     fmt = f.read(csize)
+                elif cid == b"rcvr":
+                    # RF centre from the capture metadata -> dial tuning
+                    self.center_frequency_hz = float(
+                        RcvrChunk.unpack(f.read(csize)).center_frequency_hz)
+                elif cid == b"auxi":
+                    self.center_frequency_hz = float(
+                        AuxiChunk.unpack(f.read(csize)).center_freq)
                 elif cid == b"data":
                     data_off = f.tell()
                     break
@@ -243,6 +274,11 @@ class Receiver:
         if bits != 16 or nch != 2 * self.geo.channels:
             # uncommon layouts fall back to the simple reader
             iq, _info = read_wav(path)
+            if _info.rcvr is not None:
+                self.center_frequency_hz = float(
+                    _info.rcvr.center_frequency_hz)
+            elif _info.auxi is not None:
+                self.center_frequency_hz = float(_info.auxi.center_freq)
             yield from self.run(iq)
             return
         frame_bytes = 2 * nch

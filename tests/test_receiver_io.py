@@ -39,6 +39,44 @@ class TestRunFile:
         np.testing.assert_allclose(a_file, a_mem, atol=1e-3)
 
 
+class TestFrequencyControl:
+    """RF-dial tuning (freq_control.c): centre frequency from capture
+    metadata + converter offset + passband direction."""
+
+    def test_tune_rf_mapping(self):
+        rx = Receiver(_params(converter_offset_hz=116_000_000.0))
+        rx.center_frequency_hz = 28_000_000.0
+        rx.tune_rf(144_028_200.0)  # 2 m dial through a 116 MHz converter
+        assert rx.tuned_hz == pytest.approx(28_200.0,
+                                            abs=rx.geo.fftx_bin_hz
+                                            if hasattr(rx.geo,
+                                                       "fftx_bin_hz")
+                                            else 200.0)
+        assert rx.tuned_rf_hz == pytest.approx(144_028_200.0, abs=200.0)
+
+    def test_inverting_converter(self):
+        rx = Receiver(_params(passband_direction=-1))
+        rx.center_frequency_hz = 10_000_000.0
+        rx.tune_rf(9_990_000.0)  # 10 kHz below centre, inverted
+        assert rx.tuned_hz == pytest.approx(10_000.0, abs=200.0)
+        assert rx.tuned_rf_hz == pytest.approx(9_990_000.0, abs=200.0)
+
+    def test_center_from_rcvr_chunk(self, tmp_path):
+        from linrad_tpu.io.wav import RcvrChunk
+        p = _params()
+        rx = Receiver(p)
+        g = rx.geo
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step,
+                      [Tone(1_000.0, amplitude=1000.0)])
+        path = str(tmp_path / "tagged.wav")
+        write_wav(path, iq.astype(np.complex64)[:, None], g.rx_ad_speed,
+                  bits=16,
+                  rcvr=RcvrChunk(center_frequency_hz=14_100_000))
+        for _ in rx.run_file(path):
+            pass
+        assert rx.center_frequency_hz == 14_100_000.0
+
+
 class TestAudioResample:
     def test_output_rate(self):
         p = _params()
