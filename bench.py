@@ -344,6 +344,10 @@ def main():
     # small steps (256-frame steps: 45 Gsps; 2048: 292 Gsps measured)
     tpu_msps = 0.0
     for fn, overrides in (
+            (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
+                                     blanker_rounds=8,
+                                     target_fft1_frames_per_step=2048,
+                                     max_pulses_per_block=512)),
             (bench_tpu_batched, dict(k_steps=32, dispatches=6, windows=6,
                                      blanker_rounds=8,
                                      target_fft1_frames_per_step=2048,

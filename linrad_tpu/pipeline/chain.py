@@ -145,33 +145,144 @@ class RxOutputs:
     noise_floor: jax.Array | None     # () float32
 
 
-def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
-    """Build the pure step function for this configuration.
+@pytree_dataclass
+class NBState:
+    """Narrowband state of ONE sub-receiver (one mix1 channel of the
+    reference's MIX1_NO_OF_CHANNELS=24 slots, globdef.h:315)."""
 
-    Returns ``step(tables, state, block, tune_bin) -> (state, outputs)``
-    with block (samples_per_step, C) complex64 and tune_bin a traced
-    int32 fftx bin index (retuning does not recompile).
-    """
+    mix1: Mix1State
+    fft3: FFT3State
+    mix2: Mix2State
+    bfo: demod_ops.BFOState
+    am: demod_ops.AMState
+    fm: demod_ops.FMState
+    coh: demod_ops.CoherentState
+    agc: agc_ops.AGCState
+    squelch: SquelchState | None = None
+    pol: PolState | None = None
+    mix2_fir: Mix2FirState | None = None
+
+    @classmethod
+    def create(cls, geo: Geometry, pol: bool = False,
+               fir_len: int = 0) -> "NBState":
+        c = 1 if pol else geo.channels
+        return cls(
+            mix1=Mix1State.create(geo), fft3=FFT3State.create(geo),
+            mix2=Mix2State.create(geo), bfo=demod_ops.BFOState.create(),
+            am=demod_ops.AMState.create(c), fm=demod_ops.FMState.create(c),
+            coh=demod_ops.CoherentState.create(c),
+            agc=agc_ops.AGCState.create(c),
+            squelch=SquelchState.create(),
+            pol=PolState.create() if pol else None,
+            mix2_fir=(Mix2FirState.create(geo, fir_len) if fir_len
+                      else None))
+
+    @classmethod
+    def create_stacked(cls, geo: Geometry, n_subch: int,
+                       pol: bool = False, fir_len: int = 0) -> "NBState":
+        """K independent sub-receiver states stacked on a leading axis
+        (the vmap axis of the multi-sub-receiver step)."""
+        one = cls.create(geo, pol=pol, fir_len=fir_len)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x[None], n_subch, axis=0), one)
+
+    @classmethod
+    def from_rx(cls, s: "RxState") -> "NBState":
+        return cls(mix1=s.mix1, fft3=s.fft3, mix2=s.mix2, bfo=s.bfo,
+                   am=s.am, fm=s.fm, coh=s.coh, agc=s.agc,
+                   squelch=s.squelch, pol=s.pol, mix2_fir=s.mix2_fir)
+
+
+def narrowband_tail(geo: Geometry, p: RxParams, tables: RxTables,
+                    nb: NBState, fftx_spec: jax.Array,
+                    tune_bin: jax.Array):
+    """mix1 -> fft3 -> mix2 -> demod -> AGC/expander/squelch for one
+    tuned sub-receiver (the reference's narrowband_dsp + mix2 + fft3 +
+    detector thread group, SURVEY.md §3.4).
+
+    Returns (nb', audio, baseb, agc_gain)."""
     fs_bb = geo.baseband_sampling_speed
     with_carrier = p.demod == Demod.COHERENT
+    s_mix1, timf3 = mix1_step(geo, tables.mix1, nb.mix1, fftx_spec,
+                              tune_bin)
+    s_fft3, fft3_spec = fft3_step(geo, tables.fft3, nb.fft3, timf3)
+    s_fir = nb.mix2_fir
+    if p.mixer_mode == 2:
+        # time-domain FIR decimator (mix2.c:217-245); the carrier
+        # branch still comes from fft3 (mix2.c:246 runs either way)
+        s_fir, baseb = mix2_fir_step(geo, tables.mix2.fir, nb.mix2_fir,
+                                     timf3)
+        s_mix2, carrier = nb.mix2, None
+        if with_carrier:
+            s_mix2, carrier = mix2_carrier_step(geo, tables.mix2,
+                                                nb.mix2, fft3_spec)
+    else:
+        s_mix2, baseb, carrier = mix2_step(geo, tables.mix2, nb.mix2,
+                                           fft3_spec,
+                                           with_carrier=with_carrier)
+    s_pol = nb.pol
+    if p.pol_adapt_enable and geo.channels == 2:
+        # adaptive polarization: project the 2-channel baseband onto
+        # the dominant coherency eigenvector (pol_graph.c channel
+        # combination, applied in the mix2 path)
+        s_pol, combined, w = update_polarization(nb.pol, baseb)
+        baseb = combined[:, None]
+        if carrier is not None:
+            carrier = (carrier @ jnp.conj(w))[:, None]
+    s_bfo, s_am, s_fm, s_coh = nb.bfo, nb.am, nb.fm, nb.coh
+    if p.demod == Demod.SSB:
+        s_bfo, audio = demod_ops.bfo_ssb(nb.bfo, baseb, p.bfo_hz, fs_bb)
+    elif p.demod == Demod.AM:
+        s_am, audio = demod_ops.am_detect(nb.am, baseb, fs_bb)
+    elif p.demod == Demod.FM:
+        s_fm, audio = demod_ops.fm_detect(nb.fm, baseb, fs_bb)
+        if p.fm_deemphasis_us > 0:
+            audio, de_last = demod_ops.fm_deemphasis(
+                audio, fs_bb, p.fm_deemphasis_us, s_fm.deemph)
+            s_fm = demod_ops.FMState(last=s_fm.last, deemph=de_last)
+    elif p.demod == Demod.COHERENT:
+        s_coh, audio_i, _audio_q = demod_ops.coherent_detect(
+            nb.coh, baseb, carrier, fs_bb)
+        s_bfo, audio = demod_ops.bfo_ssb(
+            nb.bfo, audio_i.astype(jnp.complex64), p.bfo_hz, fs_bb)
+    else:  # Demod.NONE — raw complex baseband as "audio" I channel
+        audio = jnp.real(baseb)
+    if p.agc_enable:
+        s_agc, audio, gain = agc_ops.agc(
+            nb.agc, audio, fs_bb, p.agc_attack_ms, p.agc_release_ms,
+            p.agc_hang_ms)
+    else:
+        s_agc = nb.agc
+        gain = jnp.ones_like(audio)
+    if p.expander_exponent > 1.0:
+        audio = expander(audio, p.expander_exponent)
+    s_squelch = nb.squelch
+    if p.squelch_enable:
+        s_squelch, audio, _open = squelch_step(
+            geo, nb.squelch, fft3_spec, tables.mix2.filt,
+            p.squelch_ratio, p.squelch_tc_ms, audio)
+    nb_out = NBState(mix1=s_mix1, fft3=s_fft3, mix2=s_mix2, bfo=s_bfo,
+                     am=s_am, fm=s_fm, coh=s_coh, agc=s_agc,
+                     squelch=s_squelch, pol=s_pol, mix2_fir=s_fir)
+    return nb_out, audio, baseb, gain
+
+
+def _make_wideband_front(geo: Geometry, p: RxParams,
+                         blanker_pulsewidth: int):
+    """fft1 -> sellim -> back-FFT -> blankers -> fft2 -> spur subtract
+    (the shared wideband chain feeding every sub-receiver)."""
     step_seconds = geo.samples_per_step / geo.timf1_sampling_speed
 
-    def step(tables: RxTables, state: RxState, block: jax.Array,
-             tune_bin: jax.Array) -> tuple[RxState, RxOutputs]:
+    def front(tables: RxTables, state: RxState, block: jax.Array,
+              tune0: jax.Array):
         s_fft1, fft1_spec, step_power = fft1_step(
             geo, tables.fft1, state.fft1, block, p.fft_avg1num,
             variant=p.fft1_variant)
-
         s_sellim = state.sellim
         s_timf2 = state.timf2
         s_fft2 = state.fft2
         s_blank = state.blanker
         fft2_power = liminfo_out = n_fit = n_clear = nf_out = None
-
-        # tune_bin may be scalar (fixed tuning) or (n_fftx,) per-frame
-        # (the AFC path, do_mix1_afc mix1.c:648)
-        tune0 = jnp.reshape(tune_bin, (-1,))[0]
-
         if geo.second_fft_enable:
             # protected passband in fft1-bin coordinates
             # (selfreq_liminfo, sellim.c:38-116)
@@ -210,84 +321,103 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
             nf_out = s_blank.noise_floor
         else:
             fftx_spec = fft1_spec
-
         s_spur = state.spur
         if p.spur_enable:
             s_spur, fftx_spec = spur_subtract_step(
                 geo, tables.spur_template, state.spur, fftx_spec)
+        wide = dict(fft1=s_fft1, sellim=s_sellim, timf2=s_timf2,
+                    fft2=s_fft2, blanker=s_blank, spur=s_spur)
+        aux = dict(step_power=step_power, fft2_power=fft2_power,
+                   liminfo=liminfo_out, blanker_fitted=n_fit,
+                   blanker_cleared=n_clear, noise_floor=nf_out)
+        return wide, fftx_spec, aux
 
-        s_mix1, timf3 = mix1_step(geo, tables.mix1, state.mix1, fftx_spec,
-                                  tune_bin)
-        s_fft3, fft3_spec = fft3_step(geo, tables.fft3, state.fft3, timf3)
-        s_fir = state.mix2_fir
-        if p.mixer_mode == 2:
-            # time-domain FIR decimator (mix2.c:217-245); the carrier
-            # branch still comes from fft3 (mix2.c:246 runs either way)
-            s_fir, baseb = mix2_fir_step(geo, tables.mix2.fir,
-                                         state.mix2_fir, timf3)
-            s_mix2, carrier = state.mix2, None
-            if with_carrier:
-                s_mix2, carrier = mix2_carrier_step(
-                    geo, tables.mix2, state.mix2, fft3_spec)
-        else:
-            s_mix2, baseb, carrier = mix2_step(geo, tables.mix2,
-                                               state.mix2, fft3_spec,
-                                               with_carrier=with_carrier)
-        s_pol = state.pol
-        if p.pol_adapt_enable and geo.channels == 2:
-            # adaptive polarization: project the 2-channel baseband onto
-            # the dominant coherency eigenvector (pol_graph.c channel
-            # combination, applied in the mix2 path)
-            s_pol, combined, w = update_polarization(state.pol, baseb)
-            baseb = combined[:, None]
-            if carrier is not None:
-                carrier = (carrier @ jnp.conj(w))[:, None]
-        s_bfo, s_am, s_fm, s_coh = state.bfo, state.am, state.fm, state.coh
-        if p.demod == Demod.SSB:
-            s_bfo, audio = demod_ops.bfo_ssb(state.bfo, baseb, p.bfo_hz,
-                                             fs_bb)
-        elif p.demod == Demod.AM:
-            s_am, audio = demod_ops.am_detect(state.am, baseb, fs_bb)
-        elif p.demod == Demod.FM:
-            s_fm, audio = demod_ops.fm_detect(state.fm, baseb, fs_bb)
-            if p.fm_deemphasis_us > 0:
-                audio, de_last = demod_ops.fm_deemphasis(
-                    audio, fs_bb, p.fm_deemphasis_us, s_fm.deemph)
-                s_fm = demod_ops.FMState(last=s_fm.last, deemph=de_last)
-        elif p.demod == Demod.COHERENT:
-            s_coh, audio_i, _audio_q = demod_ops.coherent_detect(
-                state.coh, baseb, carrier, fs_bb)
-            s_bfo, audio = demod_ops.bfo_ssb(state.bfo,
-                                             audio_i.astype(jnp.complex64),
-                                             p.bfo_hz, fs_bb)
-        else:  # Demod.NONE — raw complex baseband as "audio" I channel
-            audio = jnp.real(baseb)
-        if p.agc_enable:
-            s_agc, audio, gain = agc_ops.agc(
-                state.agc, audio, fs_bb, p.agc_attack_ms, p.agc_release_ms,
-                p.agc_hang_ms)
-        else:
-            s_agc = state.agc
-            gain = jnp.ones_like(audio)
-        if p.expander_exponent > 1.0:
-            audio = expander(audio, p.expander_exponent)
-        s_squelch = state.squelch
-        if p.squelch_enable:
-            s_squelch, audio, _open = squelch_step(
-                geo, state.squelch, fft3_spec, tables.mix2.filt,
-                p.squelch_ratio, p.squelch_tc_ms, audio)
-        new_state = RxState(fft1=s_fft1, mix1=s_mix1, fft3=s_fft3,
-                            mix2=s_mix2, bfo=s_bfo, am=s_am, fm=s_fm,
-                            coh=s_coh, agc=s_agc, sellim=s_sellim,
-                            timf2=s_timf2, fft2=s_fft2, blanker=s_blank,
-                            spur=s_spur, squelch=s_squelch, pol=s_pol,
-                            mix2_fir=s_fir)
+    return front
+
+
+def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
+    """Build the pure step function for this configuration.
+
+    Returns ``step(tables, state, block, tune_bin) -> (state, outputs)``
+    with block (samples_per_step, C) complex64 and tune_bin a traced
+    int32 fftx bin index (retuning does not recompile).
+    """
+    front = _make_wideband_front(geo, p, blanker_pulsewidth)
+
+    def step(tables: RxTables, state: RxState, block: jax.Array,
+             tune_bin: jax.Array) -> tuple[RxState, RxOutputs]:
+        # tune_bin may be scalar (fixed tuning) or (n_fftx,) per-frame
+        # (the AFC path, do_mix1_afc mix1.c:648)
+        tune0 = jnp.reshape(tune_bin, (-1,))[0]
+        wide, fftx_spec, aux = front(tables, state, block, tune0)
+        nb, audio, baseb, gain = narrowband_tail(
+            geo, p, tables, NBState.from_rx(state), fftx_spec, tune_bin)
+        new_state = RxState(fft1=wide["fft1"], mix1=nb.mix1,
+                            fft3=nb.fft3, mix2=nb.mix2, bfo=nb.bfo,
+                            am=nb.am, fm=nb.fm, coh=nb.coh, agc=nb.agc,
+                            sellim=wide["sellim"], timf2=wide["timf2"],
+                            fft2=wide["fft2"], blanker=wide["blanker"],
+                            spur=wide["spur"], squelch=nb.squelch,
+                            pol=nb.pol, mix2_fir=nb.mix2_fir)
         outputs = RxOutputs(audio=audio, baseb=baseb,
-                            fft1_power=step_power,
-                            fft1_avg_power=s_fft1.sumsq_avg,
-                            agc_gain=gain, fft2_power=fft2_power,
-                            liminfo=liminfo_out, blanker_fitted=n_fit,
-                            blanker_cleared=n_clear, noise_floor=nf_out)
+                            fft1_power=aux["step_power"],
+                            fft1_avg_power=wide["fft1"].sumsq_avg,
+                            agc_gain=gain, fft2_power=aux["fft2_power"],
+                            liminfo=aux["liminfo"],
+                            blanker_fitted=aux["blanker_fitted"],
+                            blanker_cleared=aux["blanker_cleared"],
+                            noise_floor=aux["noise_floor"])
         return new_state, outputs
+
+    return step
+
+
+def make_multi_rx_step(geo: Geometry, p: RxParams,
+                       blanker_pulsewidth: int = 2):
+    """Multi-sub-receiver step: ONE wideband front end feeding K
+    independently tuned narrowband sub-receivers.
+
+    The reference reserves MIX1_NO_OF_CHANNELS=24 mix1 channel slots
+    (globdef.h:315) and fans narrowband "userx" consumers out over the
+    network (NET_RX_STRUCT.userx_no/userx_freq globdef.h:1282-1294);
+    here the sub-receivers are a vmapped batch axis over the narrowband
+    tail — the TPU-native form: the tail's small FFTs and filters batch
+    into single fat kernels across sub-channels.
+
+    Returns ``step(tables, state, nbs, block, tune_bins) ->
+    ((state, nbs), outputs)`` where nbs is an NBState with leading axis
+    K (NBState.create_stacked) and tune_bins is int32 (K,) — or (K, n)
+    for per-frame AFC tuning per sub-receiver.  outputs.audio/baseb/
+    agc_gain carry the K axis in front.
+    """
+    front = _make_wideband_front(geo, p, blanker_pulsewidth)
+    tail = jax.vmap(
+        lambda nb, tune, tables, fftx: narrowband_tail(
+            geo, p, tables, nb, fftx, tune),
+        in_axes=(0, 0, None, None))
+
+    def step(tables: RxTables, state: RxState, nbs: NBState,
+             block: jax.Array, tune_bins: jax.Array):
+        tune0 = jnp.reshape(tune_bins, (-1,))[0]
+        wide, fftx_spec, aux = front(tables, state, block, tune0)
+        nbs_out, audio, baseb, gain = tail(nbs, tune_bins, tables,
+                                           fftx_spec)
+        new_state = RxState(fft1=wide["fft1"], mix1=state.mix1,
+                            fft3=state.fft3, mix2=state.mix2,
+                            bfo=state.bfo, am=state.am, fm=state.fm,
+                            coh=state.coh, agc=state.agc,
+                            sellim=wide["sellim"], timf2=wide["timf2"],
+                            fft2=wide["fft2"], blanker=wide["blanker"],
+                            spur=wide["spur"], squelch=state.squelch,
+                            pol=state.pol, mix2_fir=state.mix2_fir)
+        outputs = RxOutputs(audio=audio, baseb=baseb,
+                            fft1_power=aux["step_power"],
+                            fft1_avg_power=wide["fft1"].sumsq_avg,
+                            agc_gain=gain, fft2_power=aux["fft2_power"],
+                            liminfo=aux["liminfo"],
+                            blanker_fitted=aux["blanker_fitted"],
+                            blanker_cleared=aux["blanker_cleared"],
+                            noise_floor=aux["noise_floor"])
+        return (new_state, nbs_out), outputs
 
     return step

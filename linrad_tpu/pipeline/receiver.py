@@ -309,3 +309,59 @@ class Receiver:
             "agc_gain": np.concatenate(gains) if gains else np.zeros((0, 1)),
             "fft1_avg_power": power,
         }
+
+
+class MultiReceiver:
+    """K independently tuned sub-receivers over ONE wideband front end
+    (the reference's MIX1_NO_OF_CHANNELS=24 mix1 slots / network userx
+    consumers, globdef.h:315, 1282-1294).  The narrowband tail is a
+    vmapped batch axis, so K sub-channels cost one fat kernel set, not
+    K dispatches."""
+
+    def __init__(self, params: RxParams, n_subch: int,
+                 calibration: dict | None = None):
+        from .chain import NBState, make_multi_rx_step
+
+        self.params = params
+        self.n_subch = n_subch
+        self.geo: Geometry = derive_geometry(params)
+        self.tables = RxTables.create(self.geo, params, calibration)
+        fir_len = (int(self.tables.mix2.fir.shape[0])
+                   if self.tables.mix2.fir is not None else 0)
+        self.state = RxState.create(self.geo, spur=params.spur_enable,
+                                    fir_len=fir_len)
+        self.nbs = NBState.create_stacked(
+            self.geo, n_subch, pol=params.pol_adapt_enable,
+            fir_len=fir_len)
+        pw = 2
+        if self.geo.second_fft_enable:
+            from ..ops.blanker import BlankerTables
+            _, pw = BlankerTables.create(self.geo)
+        self._step = jax.jit(make_multi_rx_step(self.geo, params,
+                                                blanker_pulsewidth=pw))
+        self._tune_bins = np.zeros(n_subch, np.int64)
+
+    def tune_subch(self, k: int, freq_hz: float) -> None:
+        """Tune sub-receiver k (quantised to an fftx bin); traced, so
+        retuning any sub-channel never recompiles."""
+        n = self.geo.fftx_size
+        fs = self.geo.timf1_sampling_speed
+        self._tune_bins[k] = int(round(freq_hz / fs * n)) % n
+
+    def process_block(self, block) -> RxOutputs:
+        """One step; outputs.audio/baseb/agc_gain have shape (K, S, C)."""
+        block = jnp.asarray(block, jnp.complex64)
+        if block.ndim == 1:
+            block = block[:, None]
+        (self.state, self.nbs), out = self._step(
+            self.tables, self.state, self.nbs, block,
+            jnp.asarray(self._tune_bins, jnp.int32))
+        return out
+
+    def run(self, iq: np.ndarray):
+        """Stream a recording; yields RxOutputs per step."""
+        if iq.ndim == 1:
+            iq = iq[:, None]
+        s = self.geo.samples_per_step
+        for i in range(iq.shape[0] // s):
+            yield self.process_block(iq[i * s:(i + 1) * s])

@@ -111,6 +111,56 @@ class TestSSBChain:
             assert snr > 40.0, (mode, snr)
         assert amps[2] == pytest.approx(amps[1], rel=2e-2)
 
+    def test_multi_subreceiver(self):
+        # one wideband front end, K independently tuned sub-receivers
+        # (MIX1_NO_OF_CHANNELS analog) — each must match a single
+        # receiver tuned to the same frequency exactly
+        import jax
+        import jax.numpy as jnp
+        from linrad_tpu import derive_geometry
+        from linrad_tpu.pipeline.chain import (NBState, RxState,
+                                               RxTables,
+                                               make_multi_rx_step,
+                                               make_rx_step)
+
+        p = RxParams(first_fft_bandwidth=100.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     demod=Demod.NONE)
+        geo = derive_geometry(p)
+        tables = RxTables.create(geo, p)
+        freqs = [10_000.0, 12_000.0, 15_500.0]
+        n = geo.fftx_size
+        fs = geo.timf1_sampling_speed
+        bins = jnp.asarray([int(round(f / fs * n)) % n for f in freqs],
+                           jnp.int32)
+        centers = [int(b) * fs / n for b in bins]  # quantised tuning
+        iq = tones_iq(geo.rx_ad_speed, geo.samples_per_step * 4,
+                      [Tone(c + 300.0) for c in centers])[:, None]
+        mstep = jax.jit(make_multi_rx_step(geo, p))
+        sstep = jax.jit(make_rx_step(geo, p))
+        state = RxState.create(geo)
+        nbs = NBState.create_stacked(geo, len(freqs))
+        multi = []
+        for i in range(4):
+            blk = jnp.asarray(iq[i * geo.samples_per_step:
+                                 (i + 1) * geo.samples_per_step])
+            (state, nbs), out = mstep(tables, state, nbs, blk, bins)
+            multi.append(np.asarray(out.baseb))
+        multi = np.concatenate(multi, axis=1)  # (K, S, C)
+        for k in range(len(freqs)):
+            sstate = RxState.create(geo)
+            single = []
+            for i in range(4):
+                blk = jnp.asarray(iq[i * geo.samples_per_step:
+                                     (i + 1) * geo.samples_per_step])
+                sstate, out = sstep(tables, sstate, blk, bins[k])
+                single.append(np.asarray(out.baseb))
+            single = np.concatenate(single, axis=0)
+            np.testing.assert_allclose(multi[k], single, atol=1e-5)
+            z = multi[k][multi.shape[1] // 3:, 0]
+            snr = _fit_tone_snr(z, 300.0, geo.baseband_sampling_speed)
+            assert snr > 60.0, (k, snr)
+
     def test_retune_without_recompile(self):
         rx = _rx()
         g = rx.geo
