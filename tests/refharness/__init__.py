@@ -1,0 +1,199 @@
+"""ctypes interface to the headless reference DSP core (libref.so).
+
+``RefChain`` wraps setup/feed/run; array accessors return numpy views
+into the reference's live buffers.  See build.py for what is compiled.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from .build import REF, build_libref
+
+# globdef.h constants
+MODE_WCW = 0
+MODE_SSB = 3
+MODE_AM = 5
+DWORD_INPUT = 1
+TWO_CHANNELS = 2
+IQ_DATA = 4
+
+# genparm indices (globdef.h:288-326)
+FIRST_FFT_BANDWIDTH = 0
+FIRST_FFT_SINPOW = 1
+FIRST_FFT_VERNR = 2
+SECOND_FFT_ENABLE = 8
+SELLIM_MAXLEVEL = 10
+FIRST_BCKFFT_ATT_N = 11
+SECOND_FFT_NINC = 12
+SECOND_FFT_SINPOW = 13
+AFC_ENABLE = 17
+MIX1_BANDWIDTH_REDUCTION_N = 23
+THIRD_FFT_SINPOW = 25
+DA_OUTPUT_SPEED = 28
+
+
+def available() -> bool:
+    return os.path.isdir(REF)
+
+
+_lib = None
+
+
+def load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(build_libref())
+    lib.ref_setup.restype = ctypes.c_int
+    lib.ref_setup.argtypes = [ctypes.c_int] * 9
+    lib.ref_teardown.restype = None
+    lib.ref_set_genparm.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.ref_set_hg.argtypes = [ctypes.c_char_p, ctypes.c_double]
+    lib.ref_set_wg.argtypes = [ctypes.c_char_p, ctypes.c_double]
+    lib.ref_set_bg.argtypes = [ctypes.c_char_p, ctypes.c_double]
+    lib.ref_get_hg.argtypes = [ctypes.c_char_p]
+    lib.ref_get_hg.restype = ctypes.c_double
+    lib.ref_geo.restype = ctypes.c_long
+    lib.ref_geo.argtypes = [ctypes.c_char_p]
+    lib.ref_geof.restype = ctypes.c_double
+    lib.ref_geof.argtypes = [ctypes.c_char_p]
+    lib.ref_array.restype = ctypes.c_void_p
+    lib.ref_array.argtypes = [ctypes.c_char_p]
+    lib.ref_feed.argtypes = [
+        np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
+    lib.ref_run_wideband.restype = ctypes.c_int
+    lib.ref_tune.restype = ctypes.c_int
+    lib.ref_tune.argtypes = [ctypes.c_double]
+    lib.ref_run_narrowband.restype = ctypes.c_int
+    lib.ref_consume_audio.restype = ctypes.c_long
+    lib.ref_consume_audio.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
+    lib.ref_fftforward.restype = ctypes.c_int
+    lib.ref_fftforward.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_int]
+    lib.ref_fftback.restype = ctypes.c_int
+    lib.ref_fftback.argtypes = lib.ref_fftforward.argtypes
+    lib.ref_fft_real_to_hermitian.restype = ctypes.c_int
+    lib.ref_fft_real_to_hermitian.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+class RefChain:
+    """One configured instance of the reference receiver chain.
+
+    Only one configuration can be live per process (the reference keeps
+    all state in globals); re-instantiating reconfigures in place.
+    """
+
+    def __init__(self, mode=MODE_SSB, ad_speed=96000, input_mode=IQ_DATA,
+                 rf_channels=1, second_fft=0, fft1_bw_centihz=0,
+                 fft1_vernr=2, sinpow=2, afc_enable=0):
+        self.lib = load()
+        rc = self.lib.ref_setup(mode, ad_speed, input_mode, rf_channels,
+                                second_fft, fft1_bw_centihz, fft1_vernr,
+                                sinpow, afc_enable)
+        if rc != 0:
+            raise RuntimeError(f"ref_setup failed rc={rc}")
+        self.rf_channels = rf_channels
+        self.ad_speed = ad_speed
+        self.second_fft = second_fft
+
+    # ---- scalars ----
+    def geo(self, name: str) -> int:
+        v = self.lib.ref_geo(name.encode())
+        if v == -999999:
+            raise KeyError(name)
+        return int(v)
+
+    def geof(self, name: str) -> float:
+        v = self.lib.ref_geof(name.encode())
+        if v == -999999.0:
+            raise KeyError(name)
+        return float(v)
+
+    def set_genparm(self, idx: int, val: int):
+        self.lib.ref_set_genparm(idx, val)
+
+    def set_hg(self, name: str, val: float):
+        if self.lib.ref_set_hg(name.encode(), float(val)) != 0:
+            raise KeyError(name)
+
+    def set_wg(self, name: str, val: float):
+        if self.lib.ref_set_wg(name.encode(), float(val)) != 0:
+            raise KeyError(name)
+
+    def set_bg(self, name: str, val: float):
+        if self.lib.ref_set_bg(name.encode(), float(val)) != 0:
+            raise KeyError(name)
+
+    # ---- arrays ----
+    def array(self, name: str, count: int, dtype=np.float32) -> np.ndarray:
+        ptr = self.lib.ref_array(name.encode())
+        if not ptr:
+            raise KeyError(name)
+        buf = (ctypes.c_char * (count * np.dtype(dtype).itemsize)
+               ).from_address(ptr)
+        return np.frombuffer(buf, dtype=dtype, count=count)
+
+    # ---- drive ----
+    def feed_iq(self, iq: np.ndarray):
+        """Feed complex IQ as interleaved int16 (I,Q per channel)."""
+        if iq.ndim == 1:
+            iq = iq[:, None]
+        n, ch = iq.shape
+        words = np.empty((n, 2 * ch), np.int16)
+        re = np.clip(np.round(iq.real), -32768, 32767).astype(np.int16)
+        im = np.clip(np.round(iq.imag), -32768, 32767).astype(np.int16)
+        words[:, 0::2] = re
+        words[:, 1::2] = im
+        flat = np.ascontiguousarray(words.reshape(-1))
+        self.lib.ref_feed(flat, flat.size)
+
+    def run_wideband(self) -> int:
+        rc = self.lib.ref_run_wideband()
+        if rc < 0:
+            raise RuntimeError(f"ref_run_wideband err {rc}")
+        return rc
+
+    def tune(self, hz: float):
+        rc = self.lib.ref_tune(float(hz))
+        if rc != 0:
+            raise RuntimeError(f"ref_tune failed rc={rc}")
+
+    def run_narrowband(self):
+        rc = self.lib.ref_run_narrowband()
+        if rc != 0:
+            raise RuntimeError(f"ref_run_narrowband err {rc}")
+
+    def consume_audio(self, max_points=1 << 20) -> np.ndarray:
+        buf = np.empty((max_points, 2), np.float32)
+        n = self.lib.ref_consume_audio(buf.reshape(-1), max_points)
+        return buf[:n]
+
+    # ---- spectra ----
+    def fft1_spectra(self, count: int) -> np.ndarray:
+        """The most recent `count` fft1 transforms as complex
+        (count, channels, fft1_size)."""
+        size = self.geo("fft1_size")
+        block = self.geo("fft1_block")
+        na = self.geo("fft1_na")
+        maxn = self.geo("max_fft1n")
+        raw = self.array("fft1_float", maxn * block)
+        out = np.empty((count, self.rf_channels, size), np.complex64)
+        for i in range(count):
+            n = (na - count + i) % maxn
+            blk = raw[n * block:(n + 1) * block]
+            c = blk.reshape(size, 2 * self.rf_channels)
+            for ch in range(self.rf_channels):
+                out[i, ch] = c[:, 2 * ch] + 1j * c[:, 2 * ch + 1]
+        return out
