@@ -223,7 +223,11 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
   lir_status = LIR_OK;
   rx_mode = mode;
   no_of_processors = 1;
-  screen_width = 1024;
+  /* wide enough that the wide graph spans every fft1 bin: fft1_c only
+   * calibrates [fft1_first_point, fft1_last_point] = the displayed
+   * range (fft1.c:4615-4627), so a narrow virtual screen would leave
+   * band edges uncalibrated. */
+  screen_width = 34000;
   screen_height = 768;
   text_width = 8;
   text_height = 16;
@@ -272,6 +276,18 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
   refapi_setup_done = 1;
   check_filtercorr_direction();
   init_wide_graph();
+  if (kill_all_flag || lir_status != LIR_OK)
+    return refapi_errcode ? -refapi_errcode : lir_status;
+  /* zoom the wide graph out to the full spectrum: the default shows
+   * ~half (wide_graph.c wg_default_x) and fft1_c/liminfo only process
+   * the displayed range (fft1.c:4607-4630). */
+  wg.xleft = 0;
+  wg.xright = fft1_size + 6 * text_width - 1;
+  wg.first_xpoint = 0;
+  wg.xpoints = fft1_size;
+  wg.pixels_per_xpoint = 1;
+  wg.xpoints_per_pixel = 1;
+  make_wide_graph(0);
   if (kill_all_flag || lir_status != LIR_OK)
     return refapi_errcode ? -refapi_errcode : lir_status;
   if (genparm[SECOND_FFT_ENABLE] != 0) {
