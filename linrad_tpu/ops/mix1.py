@@ -33,6 +33,17 @@ from .framing import overlap_add
 from .windows import synthesis_weights
 
 
+def fqwin_weight(bin_offset: np.ndarray, mix1_size: int) -> np.ndarray:
+    """mix1_fqwin weight at (possibly fractional) bin offset from the
+    band centre — the erfc taper of make_window mode 5 (fft0.c:818-829,
+    built at buf.c:1297) as applied by do_mix1 (mix1.c:117-134):
+    win[M/2 - max(|d|, 1)]."""
+    from scipy.special import erfc
+    m = mix1_size
+    d = np.abs(bin_offset)
+    return 0.5 * erfc(3.2 - 13.0 * (m // 2 - np.maximum(d, 1.0)) / m)
+
+
 @pytree_dataclass(frozen=True)
 class Mix1Tables:
     fqwin: jax.Array      # (M,) float32, FFT-shifted order (index = small-FFT bin)
@@ -43,10 +54,11 @@ class Mix1Tables:
         m = geo.mix1_size
         rel = np.where(np.arange(m) < m // 2, np.arange(m),
                        np.arange(m) - m)
-        # mix1_fqwin: sin^4 taper, 1 at band centre -> 0 at edges
-        # (buf.c:1297 make_window(5, mix1.size, 4)); in shifted (bin-offset)
-        # coordinates this is cos^4(pi*rel/M).
-        fqwin = np.cos(np.pi * rel / m) ** 4
+        # mix1_fqwin: the erfc taper of the reference (see fqwin_weight)
+        # — ~1 at the band centre, -110 dB at the band edges.  Verified
+        # sample-exact against the compiled reference chain in
+        # tests/test_ref_parity.py.
+        fqwin = fqwin_weight(rel, m)
         sinpow = geo.fft2_sinpow if geo.second_fft_enable else geo.fft1_sinpow
         syn = synthesis_weights(m, geo.mix1_interleave_points, sinpow)
         return cls(fqwin=jnp.asarray(fqwin, jnp.float32),

@@ -41,15 +41,16 @@ def _filter_response(freq: np.ndarray, geo: Geometry, low_hz: float,
     h *= np.clip(((high_hz + edge_hz) - freq) / edge_hz, 0.0, 1.0)
     h = np.sin(0.5 * np.pi * h) ** 2  # raised-cosine edge
     if compensate_fqwin:
-        # undo the mix1 sin^4 frequency taper inside the passband
-        # (baseb_graph.c:3795-3798); fqwin argument is the mix1 bin
-        # offset.  The compensation is bounded (~27 dB) and the filter is
-        # forced to zero beyond 90% of the mix1 selection — the outermost
-        # edge is unusable (fqwin -> 0 there, and boosting it amplifies
-        # the overlap-add error floor at the frame-rate harmonics).
+        # undo the mix1 erfc frequency taper inside the passband
+        # (baseb_graph.c:3795-3798); the compensation is bounded (40 dB)
+        # and the filter is forced to zero beyond 90% of the mix1
+        # selection — the outermost edge is unusable (fqwin -> 0 there,
+        # and boosting it amplifies the overlap-add error floor at the
+        # frame-rate harmonics).
+        from .mix1 import fqwin_weight
         rel_frac = np.abs(freq) / geo.timf3_sampling_speed  # 0..0.5
-        fq = np.cos(np.pi * np.clip(rel_frac, 0, 0.375)) ** 4
-        h = h / np.maximum(fq, 1e-3)
+        fq = fqwin_weight(rel_frac * geo.mix1_size, geo.mix1_size)
+        h = h / np.maximum(fq, 1e-2)
         h *= rel_frac < 0.45
     for nf, nw in notches or ():
         # user notch filters (the bg notch controls, baseb_graph.c):

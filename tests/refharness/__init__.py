@@ -99,6 +99,19 @@ class RefChain:
                  rf_channels=1, second_fft=0, fft1_bw_centihz=0,
                  fft1_vernr=2, sinpow=2, afc_enable=0):
         self.lib = load()
+        # the reference graph-init code reads par_<mode>_* files from cwd
+        # if present (wide_graph.c:1675 read_modepar_file) and writes them
+        # on setup — remove leftovers so every setup uses defaults and
+        # test behavior never depends on a previous run's litter.
+        import glob
+        for base in ("par_wcw", "par_hsms", "par_ssb", "par_fm", "par_am",
+                     "par_qrss", "par_txtest", "par_wse", "par_radar",
+                     "par_userdef"):
+            for f in glob.glob(base + "*"):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
         rc = self.lib.ref_setup(mode, ad_speed, input_mode, rf_channels,
                                 second_fft, fft1_bw_centihz, fft1_vernr,
                                 sinpow, afc_enable)

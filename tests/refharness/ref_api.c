@@ -16,6 +16,8 @@
 #include <math.h>
 #include <time.h>
 #include <sys/time.h>
+#include <signal.h>
+#include <execinfo.h>
 
 #include "osnum.h"
 #include "globdef.h"
@@ -39,6 +41,24 @@
 /* ------------------------------------------------------------------ */
 
 int refapi_errcode = 0;          /* last lirerr() code, 0 = none */
+
+/* print a native backtrace on SIGSEGV so crashes in the reference DSP
+ * code are locatable without gdb (addresses resolvable via addr2line) */
+static void segv_handler(int sig)
+{
+  void *frames[32];
+  int n = backtrace(frames, 32);
+  fprintf(stderr, "refharness: signal %d, backtrace:\n", sig);
+  backtrace_symbols_fd(frames, n, 2);
+  signal(sig, SIG_DFL);
+  raise(sig);
+}
+
+__attribute__((constructor)) static void install_segv(void)
+{
+  signal(SIGSEGV, segv_handler);
+  signal(SIGBUS, segv_handler);
+}
 
 void lirerr(int errcod)
 {
@@ -222,6 +242,9 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
   kill_all_flag = 0;
   lir_status = LIR_OK;
   rx_mode = mode;
+  /* the menu dispatch sets use_bfo per mode before normal_rx_routine
+   * (menu.c:3149-3161): 1 for CW/SSB modes, 0 for AM/FM */
+  use_bfo = (mode == MODE_AM || mode == MODE_FM) ? 0 : 1;
   no_of_processors = 1;
   /* wide enough that the wide graph spans every fft1 bin: fft1_c only
    * calibrates [fft1_first_point, fft1_last_point] = the displayed
@@ -314,6 +337,12 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
     thread_command_flag[i] = THRFLAG_ACTIVE;
     thread_status_flag[i] = THRFLAG_ACTIVE;
   }
+  /* keep the S-meter section of fft3_mix2 disabled (its gate is
+   * mg.avgnum > 0, mix2.c:1358): headless there is no meter graph, and
+   * with one RF channel the meter writer indexes mg_rms_meter[2*mg_pa+1]
+   * past its rx_rf_channels-sized allocation (mix2.c:1478 vs
+   * buf.c:1201) — an upstream quirk we must not trip. */
+  mg.avgnum = 0;
   return 0;
 }
 
@@ -588,9 +617,11 @@ int ref_tune(double hz)
   make_baseband_graph(1);
   if (kill_all_flag || lir_status != LIR_OK)
     return refapi_errcode ? -refapi_errcode : lir_status;
+  /* the clear_select counter reset (wcw.c:1750-1760): narrowband
+   * consumption restarts at the newest calibrated transform */
   if (genparm[SECOND_FFT_ENABLE] == 0) {
-    fft1_nb = fft1_na; fft1_nx = fft1_na;
-    fft1_pb = fft1_pa; fft1_px = fft1_pa;
+    fft1_nx = fft1_nb; fft1_nc = fft1_nb;
+    fft1_px = fft1_pb;
   } else {
     fft2_nc = fft2_na; fft2_nx = fft2_na;
   }
@@ -607,6 +638,7 @@ int ref_tune(double hz)
   clear_coherent();
   for (i = 0; i < timf3_block; i++) timf3_float[i] = 0;
   new_baseb_flag = 0;   /* audio may flow immediately (headless) */
+  mg.avgnum = 0;        /* keep the S-meter writer off (see ref_setup) */
   return 0;
 }
 
@@ -646,19 +678,20 @@ int ref_run_narrowband(void)
   int guard = 1 << 22;
   for (;;) {
     int progressed = 0;
+    /* fixed-tune mix1 guard (wcw.c:1706-1712 / :1741-1746): consume
+     * transforms fft1_nx..fft1_nb (or fft2_nx..fft2_na) while timf3
+     * has a block of room */
     if (genparm[SECOND_FFT_ENABLE] == 0) {
-      if (fft1_nb != fft1_na &&
-          ((timf3_pa - timf3_px + timf3_mask) & timf3_mask)
+      if (fft1_nb != fft1_nx &&
+          ((timf3_px - timf3_pa + timf3_mask) & timf3_mask)
             >= (long)timf3_block) {
-        /* mix1 needs room in timf3 (wcw.c:1706-1712) */
-        fft1_mix1_fixed();
-        progressed = 1;
-      } else if (fft1_nb != fft1_na) {
         fft1_mix1_fixed();
         progressed = 1;
       }
     } else {
-      if (fft2_nc != fft2_na) {
+      if (fft2_na != fft2_nx &&
+          ((timf3_px - timf3_pa + timf3_mask) & timf3_mask)
+            >= (long)timf3_block) {
         fft2_mix1_fixed();
         progressed = 1;
       }
@@ -685,6 +718,61 @@ int ref_run_narrowband(void)
     if (--guard <= 0) return -900200;
   }
   return 0;
+}
+
+/* single-stage steppers for debugging/bisection */
+int ref_step_mix1(void)
+{
+  if (genparm[SECOND_FFT_ENABLE] == 0) {
+    if (fft1_nb != fft1_nx &&
+        ((timf3_px - timf3_pa + timf3_mask) & timf3_mask)
+          >= (long)timf3_block) { fft1_mix1_fixed(); return 1; }
+  } else {
+    if (fft2_na != fft2_nx &&
+        ((timf3_px - timf3_pa + timf3_mask) & timf3_mask)
+          >= (long)timf3_block) { fft2_mix1_fixed(); return 1; }
+  }
+  return 0;
+}
+
+int ref_step_fft3(void)
+{
+  if (((timf3_pa - timf3_px + timf3_size) & timf3_mask)
+          >= twice_rxchan * fft3_size &&
+      ((fft3_pa - fft3_px + fft3_totsiz) & fft3_mask)
+          < fft3_totsiz - 2 * fft3_block) {
+    make_fft3_all();
+    return kill_all_flag ? -refapi_errcode : 1;
+  }
+  return 0;
+}
+
+int ref_step_mix2(void)
+{
+  if (((fft3_pa - fft3_px + fft3_totsiz) & fft3_mask) >= fft3_block &&
+      ((baseb_pa - baseb_py + baseband_size) & baseband_mask)
+          < baseband_size - 4 * (int)mix2.size) {
+    fft3_mix2();
+    return kill_all_flag ? -refapi_errcode : 1;
+  }
+  return 0;
+}
+
+/* run the reference's own arena canary checks now (buf.c:2105-2114);
+ * returns the lirerr code (1240) if corruption was found, else 0 */
+int ref_memcheck(void)
+{
+  int before = refapi_errcode;
+  refapi_errcode = 0;
+  if (fft1_handle != NULL) memcheck(97, fft1mem, &fft1_handle);
+  if (baseband_handle != NULL) memcheck(97, basebmem, &baseband_handle);
+  if (fft3_handle != NULL) memcheck(97, fft3mem, &fft3_handle);
+  if (hires_handle != NULL) memcheck(97, hiresmem, &hires_handle);
+  if (blanker_handle != NULL) memcheck(97, blankermem, &blanker_handle);
+  int rc = refapi_errcode;
+  refapi_errcode = before;
+  kill_all_flag = 0;
+  return rc;
 }
 
 int ref_errcode(void) { return refapi_errcode; }
