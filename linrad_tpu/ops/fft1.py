@@ -81,7 +81,8 @@ class FFT1State:
 
 def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
               block: jax.Array, avg1num: int,
-              variant: str | None = None
+              variant: str | None = None,
+              axis_name: str | None = None
               ) -> tuple[FFT1State, jax.Array, jax.Array]:
     """Transform one step's worth of input.
 
@@ -96,8 +97,14 @@ def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
     The slow average ``sumsq_avg`` is Linrad's fft1_sumsq (fft1.c:4085)
     reformulated as an exponential moving average whose weight matches an
     ``avg1num``-transform boxcar.
+
+    With ``axis_name`` (inside shard_map, frames sharded over the mesh)
+    the power statistics are pmean-reduced so ``sumsq_avg`` stays
+    replicated-consistent; the caller owns the cross-shard framing tail
+    exchange (parallel/sharded.py).
     """
-    if geo.iq_input and variant == "pallas" and tables.iq_corr is None:
+    if geo.iq_input and variant == "pallas" and tables.iq_corr is None \
+            and axis_name is None:
         # fully fused Pallas kernel: window + DFT + calibration + power
         # (fft1_b + fft1_c in one VMEM-resident pass, ops/pallas_fft.py)
         from .pallas_fft import fused_fft1
@@ -134,6 +141,8 @@ def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
     spec = spec * tables.filtercorr[None, :, :]
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     step_power = jnp.mean(power, axis=0)
+    if axis_name is not None:
+        step_power = jax.lax.pmean(step_power, axis_name)
     alpha = min(1.0, geo.fft1_frames_per_step / max(avg1num, 1))
     sumsq = state.sumsq_avg * (1.0 - alpha) + step_power * alpha
     return FFT1State(tail=new_tail, sumsq_avg=sumsq), spec, step_power

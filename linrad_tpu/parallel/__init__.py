@@ -9,9 +9,11 @@ halos and overlap-add carries between neighbouring shards with
 
 from .fleet import FleetRunner
 from .multihost import global_time_mesh, host_rows, scatter_step_block
-from .sharded import (ShardedBatchRunner, ShardedReceiver,
+from .sharded import (ShardedBatchRunner, ShardedMultiReceiver,
+                      ShardedReceiver, make_sharded_multi_rx_step,
                       make_sharded_rx_step)
 
-__all__ = ["ShardedReceiver", "ShardedBatchRunner", "FleetRunner",
-           "make_sharded_rx_step", "global_time_mesh",
-           "scatter_step_block", "host_rows"]
+__all__ = ["ShardedReceiver", "ShardedMultiReceiver",
+           "ShardedBatchRunner", "FleetRunner",
+           "make_sharded_rx_step", "make_sharded_multi_rx_step",
+           "global_time_mesh", "scatter_step_block", "host_rows"]

@@ -20,6 +20,12 @@ timf3 stream — its sequential AGC recurrence then needs no cross-shard
 prefix fixup.  Linrad's equivalent is the single narrowband thread fed
 by all fft1 workers (wcw.c:1240).
 
+The per-stage DSP is the SAME code the single-chip chain runs:
+``ops.fft1.fft1_step`` (with pmean'd power statistics) for the front
+end and ``pipeline.chain.narrowband_post_mix1`` for everything after
+mix1 — only the genuinely shard-aware parts (halo exchange, OLA carry
+chains, blanker halos, the mix1 shard phase offset) live here.
+
 Step-level carried state stays replicated (it is a few KB); each step
 updates it from the last shard's values via a masked ``psum``.
 """
@@ -32,19 +38,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry import Geometry
-from ..params import Demod, RxParams
-from ..ops import agc as agc_ops
+from ..params import RxParams
 from ..ops import blanker as blanker_ops
-from ..ops import demod as demod_ops
 from ..ops import sellim as sellim_ops
 from ..ops.fft2 import FFT2State
-from ..ops.fft3 import fft3_step
 from ..ops.framing import frame_stream, overlap_add
 from ..ops.mix1 import Mix1State, mix1_step
-from ..ops.mix2 import mix2_step
-from ..ops.fft1 import FFT1State
+from ..ops.fft1 import FFT1State, fft1_step
 from ..ops.timf2 import Timf2State
-from ..pipeline.chain import RxOutputs, RxState, RxTables
+from ..pipeline.chain import (NBState, RxOutputs, RxState, RxTables,
+                              narrowband_post_mix1)
 
 AXIS = "t"
 
@@ -100,43 +103,27 @@ def _shard_ola(frames: jax.Array, hop: int, state_carry: jax.Array
     return out, new_state_carry
 
 
-def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
-                         blanker_pulsewidth: int = 2,
-                         per_frame_tune: bool = False):
-    """Build the sharded step.  Requires every per-shard chunk to hold an
-    integer number of frames at every stage — derive the geometry with
-    ``RxParams(shards=<mesh size>)``.
-
-    With ``per_frame_tune`` the tune argument is a (fftx_frames_per_step,)
-    array sharded along frames (the AFC mix1_fq_mid path); the mixer
-    phase offset of each shard is the wrapped sum of all earlier shards'
-    increments (exclusive prefix over the gathered per-shard sums)."""
-    d = mesh.shape[AXIS]
-    assert geo.fft1_frames_per_step % d == 0, (
-        f"fft1 frames {geo.fft1_frames_per_step} not divisible by mesh "
-        f"size {d}; set RxParams(shards={d})")
-    if geo.second_fft_enable:
-        assert geo.fft2_frames_per_step % d == 0
-    assert geo.fft3_frames_per_step % d == 0
-    fs_bb = geo.baseband_sampling_speed
-    with_carrier = p.demod == Demod.COHERENT
+def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
+                        blanker_pulsewidth: int):
+    """Sharded fft1 -> sellim -> back-FFT -> blankers -> fft2 -> spur —
+    the shard-aware twin of chain._make_wideband_front, reusing
+    ``fft1_step``/``sellim``/``blanker`` kernels with halo exchange and
+    OLA carry chains at the shard edges."""
     step_seconds = geo.samples_per_step / geo.timf1_sampling_speed
+    n_fftx_local = (geo.fft2_frames_per_step if geo.second_fft_enable
+                    else geo.fft1_frames_per_step) // d
 
-    def shard_body(tables: RxTables, state: RxState, block: jax.Array,
-                   tune_bin: jax.Array):
-        # ---- fft1 (sharded frames) ----
+    def front(tables: RxTables, state: RxState, block: jax.Array,
+              tune0: jax.Array):
+        # ---- fft1: shared kernel; tail comes from the left neighbour,
+        # power statistics pmean across shards ----
         tail, new_tail = _shard_tail(state.fft1.tail, block)
-        frames, _ = frame_stream(tail, block, geo.fft1_size,
-                                 geo.fft1_new_points)
-        windowed = frames * tables.fft1.window[None, :, None]
-        from ..ops import fft as fftlib
-        spec = fftlib.fft(windowed, axis=1)
-        spec = spec * tables.fft1.filtercorr[None, :, :]
-        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        step_power = jax.lax.pmean(jnp.mean(power, axis=0), AXIS)
-        alpha = min(1.0, geo.fft1_frames_per_step / max(p.fft_avg1num, 1))
-        sumsq = state.fft1.sumsq_avg * (1 - alpha) + step_power * alpha
-        s_fft1 = FFT1State(tail=new_tail, sumsq_avg=sumsq)
+        s1, spec, step_power = fft1_step(
+            geo, tables.fft1,
+            FFT1State(tail=tail, sumsq_avg=state.fft1.sumsq_avg),
+            block, p.fft_avg1num, variant=None, axis_name=AXIS)
+        s_fft1 = FFT1State(tail=new_tail, sumsq_avg=s1.sumsq_avg)
+        sumsq = s1.sumsq_avg
 
         s_sellim = state.sellim
         s_timf2 = state.timf2
@@ -146,15 +133,8 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
         n_fit = n_clear = None
 
         if geo.second_fft_enable:
+            # protected passband (selfreq_liminfo, sellim.c:38-116)
             ratio = geo.fft2_size // geo.fft1_size
-            if per_frame_tune:
-                # global first frame's bin (shard 0's first element)
-                tune0 = jax.lax.psum(
-                    jnp.where(jax.lax.axis_index(AXIS) == 0,
-                              jnp.reshape(tune_bin, (-1,))[0], 0),
-                    AXIS)
-            else:
-                tune0 = tune_bin
             sel_c = tune0 // ratio
             bw_bins = max(1, int(0.7 * (p.filter_high_hz - p.filter_low_hz)
                                  / geo.fft1_bandwidth)) + 3
@@ -165,6 +145,7 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                 sel_hi=sel_c + bw_bins)
             wgain, sgain = sellim_ops.liminfo_gains(s_sellim.liminfo)
             # back transform local frames; OLA with carry chain
+            from ..ops import fft as fftlib
             gains = jnp.stack([wgain, sgain])
             masked = spec[None] * gains[:, None, :, None]
             back = fftlib.ifft(masked, axis=2)
@@ -253,10 +234,8 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                 tail=new_tail2,
                 sumsq_avg=state.fft2.sumsq_avg * (1 - a2) + fft2_power * a2)
             liminfo_out = s_sellim.liminfo
-            n_fftx_local = geo.fft2_frames_per_step // d
         else:
             fftx_spec = spec
-            n_fftx_local = geo.fft1_frames_per_step // d
 
         # ---- spur cancellation (replicated over gathered spectra: the
         # per-frame model recurrence chains across shard boundaries, and
@@ -272,118 +251,206 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                 full_clean, jax.lax.axis_index(AXIS) * n_fftx_local,
                 n_fftx_local, 0)
 
-        # ---- mix1 (sharded frames, shard-offset phase) ----
-        idx = jax.lax.axis_index(AXIS)
-        big_n = geo.fftx_size
-        mask = jnp.uint32(big_n - 1)
-        hop32 = jnp.uint32(geo.fftx_new_points)
+        wide = dict(fft1=s_fft1, sellim=s_sellim, timf2=s_timf2,
+                    fft2=s_fft2, blanker=s_blank, spur=s_spur)
+        aux = dict(step_power=step_power, fft2_power=fft2_power,
+                   liminfo=liminfo_out, blanker_fitted=n_fit,
+                   blanker_cleared=n_clear, noise_floor=nf_out,
+                   sumsq=sumsq)
+        return wide, fftx_spec, aux
+
+    return front, n_fftx_local
+
+
+def _sharded_mix1(geo: Geometry, tables: RxTables, state_mix1: Mix1State,
+                  fftx_spec: jax.Array, tune_bin: jax.Array,
+                  per_frame_tune: bool, n_fftx_local: int
+                  ) -> tuple[Mix1State, jax.Array]:
+    """mix1 over sharded fftx frames: each shard runs the shared
+    ``mix1_step`` from a phase offset equal to the wrapped sum of all
+    earlier shards' increments, then the timf3 OLA carries chain into
+    the right neighbour and the decimated stream is all_gathered.
+
+    Returns (new_replicated_mix1_state, full_timf3)."""
+    idx = jax.lax.axis_index(AXIS)
+    big_n = geo.fftx_size
+    mask = jnp.uint32(big_n - 1)
+    hop32 = jnp.uint32(geo.fftx_new_points)
+    if per_frame_tune:
+        # tune_bin: (n_local,) — exclusive prefix of per-shard
+        # increment sums gives each shard's phase offset
+        local_incr_sum = jnp.sum(
+            (tune_bin.astype(jnp.uint32) * hop32) & mask)
+        sums = jax.lax.all_gather(local_incr_sum, AXIS)   # (D,)
+        before = jnp.sum(jnp.where(
+            jnp.arange(sums.shape[0]) < idx, sums, jnp.uint32(0)))
+        shard_phase = (state_mix1.phase_idx.astype(jnp.uint32)
+                       + before) & mask
+    else:
+        incr = (tune_bin.astype(jnp.uint32) * hop32) & mask
+        shard_phase = (state_mix1.phase_idx.astype(jnp.uint32)
+                       + incr * (idx.astype(jnp.uint32)
+                                 * jnp.uint32(n_fftx_local))) & mask
+    local_state = Mix1State(
+        phase_idx=shard_phase.astype(jnp.int32),
+        ola_carry=jnp.zeros_like(state_mix1.ola_carry))
+    m1, timf3_local = mix1_step(geo, tables.mix1, local_state,
+                                fftx_spec, tune_bin)
+    # OLA carry chain for timf3
+    ov3 = geo.mix1_interleave_points
+    incoming = _from_left(m1.ola_carry)
+    head = jnp.where(idx == 0, state_mix1.ola_carry, incoming)
+    timf3_local = timf3_local.at[:ov3].add(head)
+    new_state = Mix1State(phase_idx=_pick_last(m1.phase_idx),
+                          ola_carry=_pick_last(m1.ola_carry))
+    timf3 = jax.lax.all_gather(timf3_local, AXIS, axis=0, tiled=True)
+    return new_state, timf3
+
+
+def _fir_len(tables: RxTables) -> int:
+    return (int(tables.mix2.fir.shape[0])
+            if tables.mix2.fir is not None else 0)
+
+
+def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
+                         blanker_pulsewidth: int = 2,
+                         per_frame_tune: bool = False):
+    """Build the sharded step.  Requires every per-shard chunk to hold an
+    integer number of frames at every stage — derive the geometry with
+    ``RxParams(shards=<mesh size>)``.
+
+    With ``per_frame_tune`` the tune argument is a (fftx_frames_per_step,)
+    array sharded along frames (the AFC mix1_fq_mid path); the mixer
+    phase offset of each shard is the wrapped sum of all earlier shards'
+    increments (exclusive prefix over the gathered per-shard sums)."""
+    d = mesh.shape[AXIS]
+    assert geo.fft1_frames_per_step % d == 0, (
+        f"fft1 frames {geo.fft1_frames_per_step} not divisible by mesh "
+        f"size {d}; set RxParams(shards={d})")
+    if geo.second_fft_enable:
+        assert geo.fft2_frames_per_step % d == 0
+    assert geo.fft3_frames_per_step % d == 0
+    front, n_fftx_local = _make_sharded_front(geo, p, d,
+                                              blanker_pulsewidth)
+    tables0 = RxTables.create(geo, p)
+    fir_len = _fir_len(tables0) if p.mixer_mode == 2 else 0
+
+    def shard_body(tables: RxTables, state: RxState, block: jax.Array,
+                   tune_bin: jax.Array):
         if per_frame_tune:
-            # tune_bin: (n_local,) — exclusive prefix of per-shard
-            # increment sums gives each shard's phase offset
-            local_incr_sum = jnp.sum(
-                (tune_bin.astype(jnp.uint32) * hop32) & mask)
-            sums = jax.lax.all_gather(local_incr_sum, AXIS)   # (D,)
-            before = jnp.sum(jnp.where(
-                jnp.arange(sums.shape[0]) < idx, sums, jnp.uint32(0)))
-            shard_phase = (state.mix1.phase_idx.astype(jnp.uint32)
-                           + before) & mask
+            # global first frame's bin (shard 0's first element)
+            tune0 = jax.lax.psum(
+                jnp.where(jax.lax.axis_index(AXIS) == 0,
+                          jnp.reshape(tune_bin, (-1,))[0], 0),
+                AXIS)
         else:
-            incr = (tune_bin.astype(jnp.uint32) * hop32) & mask
-            shard_phase = (state.mix1.phase_idx.astype(jnp.uint32)
-                           + incr * (idx.astype(jnp.uint32)
-                                     * jnp.uint32(n_fftx_local))) & mask
-        local_mix1_state = Mix1State(
-            phase_idx=shard_phase.astype(jnp.int32),
-            ola_carry=jnp.zeros_like(state.mix1.ola_carry))
-        m1, timf3_local = mix1_step(geo, tables.mix1, local_mix1_state,
-                                    fftx_spec, tune_bin)
-        # OLA carry chain for timf3
-        ov3 = geo.mix1_interleave_points
-        incoming = _from_left(m1.ola_carry)
-        head = jnp.where(idx == 0, state.mix1.ola_carry, incoming)
-        timf3_local = timf3_local.at[:ov3].add(head)
-        new_mix1_state = Mix1State(
-            phase_idx=_pick_last(m1.phase_idx),
-            ola_carry=_pick_last(m1.ola_carry))
-
-        # ---- narrowband finale: gather the decimated stream, compute
-        # replicated (it is 1/decimation of the data) ----
-        timf3 = jax.lax.all_gather(timf3_local, AXIS, axis=0,
-                                   tiled=True)
-        s_fft3, fft3_spec = fft3_step(geo, tables.fft3, state.fft3, timf3)
-        s_mix2, baseb, carrier = mix2_step(geo, tables.mix2, state.mix2,
-                                           fft3_spec,
-                                           with_carrier=with_carrier)
-        s_pol = state.pol
-        if p.pol_adapt_enable and geo.channels == 2:
-            from ..weak.pol import update_polarization
-            s_pol, combined, w = update_polarization(state.pol, baseb)
-            baseb = combined[:, None]
-            if carrier is not None:
-                carrier = (carrier @ jnp.conj(w))[:, None]
-        s_bfo, s_am, s_fm, s_coh = (state.bfo, state.am, state.fm,
-                                    state.coh)
-        if p.demod == Demod.SSB:
-            s_bfo, audio = demod_ops.bfo_ssb(state.bfo, baseb, p.bfo_hz,
-                                             fs_bb)
-        elif p.demod == Demod.AM:
-            s_am, audio = demod_ops.am_detect(state.am, baseb, fs_bb)
-        elif p.demod == Demod.FM:
-            s_fm, audio = demod_ops.fm_detect(state.fm, baseb, fs_bb)
-            if p.fm_deemphasis_us > 0:
-                audio, de_last = demod_ops.fm_deemphasis(
-                    audio, fs_bb, p.fm_deemphasis_us, s_fm.deemph)
-                s_fm = demod_ops.FMState(last=s_fm.last, deemph=de_last)
-        elif p.demod == Demod.COHERENT:
-            s_coh, audio_i, _q = demod_ops.coherent_detect(
-                state.coh, baseb, carrier, fs_bb)
-            s_bfo, audio = demod_ops.bfo_ssb(
-                state.bfo, audio_i.astype(jnp.complex64), p.bfo_hz, fs_bb)
-        else:
-            audio = jnp.real(baseb)
-        if p.agc_enable:
-            s_agc, audio, gain = agc_ops.agc(
-                state.agc, audio, fs_bb, p.agc_attack_ms, p.agc_release_ms,
-                p.agc_hang_ms)
-        else:
-            s_agc = state.agc
-            gain = jnp.ones_like(audio)
-        from ..ops.squelch import expander, squelch_step
-        if p.expander_exponent > 1.0:
-            audio = expander(audio, p.expander_exponent)
-        s_squelch = state.squelch
-        if p.squelch_enable:
-            s_squelch, audio, _open = squelch_step(
-                geo, state.squelch, fft3_spec, tables.mix2.filt,
-                p.squelch_ratio, p.squelch_tc_ms, audio)
-
-        new_state = RxState(fft1=s_fft1, mix1=new_mix1_state,
-                            fft3=s_fft3, mix2=s_mix2, bfo=s_bfo, am=s_am,
-                            fm=s_fm, coh=s_coh, agc=s_agc,
-                            sellim=s_sellim, timf2=s_timf2, fft2=s_fft2,
-                            blanker=s_blank, spur=s_spur,
-                            squelch=s_squelch, pol=s_pol)
+            tune0 = tune_bin
+        wide, fftx_spec, aux = front(tables, state, block, tune0)
+        new_mix1, timf3 = _sharded_mix1(geo, tables, state.mix1,
+                                        fftx_spec, tune_bin,
+                                        per_frame_tune, n_fftx_local)
+        # ---- narrowband finale: replicated, shared with the single-chip
+        # chain (it is 1/decimation of the data) ----
+        nb, audio, baseb, gain = narrowband_post_mix1(
+            geo, p, tables, NBState.from_rx(state), new_mix1, timf3)
+        new_state = RxState(fft1=wide["fft1"], mix1=nb.mix1,
+                            fft3=nb.fft3, mix2=nb.mix2, bfo=nb.bfo,
+                            am=nb.am, fm=nb.fm, coh=nb.coh, agc=nb.agc,
+                            sellim=wide["sellim"], timf2=wide["timf2"],
+                            fft2=wide["fft2"], blanker=wide["blanker"],
+                            spur=wide["spur"], squelch=nb.squelch,
+                            pol=nb.pol, mix2_fir=nb.mix2_fir)
         outputs = RxOutputs(audio=audio, baseb=baseb,
-                            fft1_power=step_power, fft1_avg_power=sumsq,
-                            agc_gain=gain, fft2_power=fft2_power,
-                            liminfo=liminfo_out, blanker_fitted=n_fit,
-                            blanker_cleared=n_clear, noise_floor=nf_out)
+                            fft1_power=aux["step_power"],
+                            fft1_avg_power=aux["sumsq"],
+                            agc_gain=gain, fft2_power=aux["fft2_power"],
+                            liminfo=aux["liminfo"],
+                            blanker_fitted=aux["blanker_fitted"],
+                            blanker_cleared=aux["blanker_cleared"],
+                            noise_floor=aux["noise_floor"])
         return new_state, outputs
 
     # everything except the input block is replicated; the block is
     # sharded along time
-    state_spec = jax.tree_util.tree_map(
-        lambda _: P(), RxState.create(geo, spur=p.spur_enable, pol=p.pol_adapt_enable))
-    tables_spec = jax.tree_util.tree_map(lambda _: P(),
-                                         RxTables.create(geo, p))
+    state0 = RxState.create(geo, spur=p.spur_enable,
+                            pol=p.pol_adapt_enable, fir_len=fir_len)
+    state_spec = jax.tree_util.tree_map(lambda _: P(), state0)
+    tables_spec = jax.tree_util.tree_map(lambda _: P(), tables0)
     out_spec = jax.tree_util.tree_map(
-        lambda _: P(), (RxState.create(geo, spur=p.spur_enable, pol=p.pol_adapt_enable),
-                        _outputs_struct(geo, p)))
+        lambda _: P(), (state0, _outputs_struct(geo, p)))
 
     tune_spec = P(AXIS) if per_frame_tune else P()
     sharded = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(tables_spec, state_spec, P(AXIS, None), tune_spec),
+        out_specs=out_spec, check_vma=False)
+    return sharded
+
+
+def make_sharded_multi_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
+                               n_subch: int, blanker_pulsewidth: int = 2):
+    """Sharded twin of chain.make_multi_rx_step: ONE sharded wideband
+    front end feeding K independently tuned narrowband sub-receivers
+    (the reference's network userx consumers, globdef.h:1282-1294,
+    served from one master's wideband stream).
+
+    The K tails are a vmapped batch axis over (sharded mix1 + replicated
+    post-mix1 finale); collectives vectorise over the vmap axis, so the
+    halo/gather traffic is batched across sub-receivers.
+
+    Returns ``step(tables, state, nbs, block, tune_bins) ->
+    ((state, nbs), outputs)`` matching the single-chip multi step."""
+    d = mesh.shape[AXIS]
+    assert geo.fft1_frames_per_step % d == 0
+    if geo.second_fft_enable:
+        assert geo.fft2_frames_per_step % d == 0
+    front, n_fftx_local = _make_sharded_front(geo, p, d,
+                                              blanker_pulsewidth)
+    tables0 = RxTables.create(geo, p)
+    fir_len = _fir_len(tables0) if p.mixer_mode == 2 else 0
+
+    def shard_body(tables: RxTables, state: RxState, nbs: NBState,
+                   block: jax.Array, tune_bins: jax.Array):
+        tune0 = jnp.reshape(tune_bins, (-1,))[0]
+        wide, fftx_spec, aux = front(tables, state, block, tune0)
+
+        def one_sub(nb, tune):
+            m1, timf3 = _sharded_mix1(geo, tables, nb.mix1, fftx_spec,
+                                      tune, False, n_fftx_local)
+            return narrowband_post_mix1(geo, p, tables, nb, m1, timf3)
+
+        nbs_out, audio, baseb, gain = jax.vmap(
+            one_sub, in_axes=(0, 0))(nbs, tune_bins)
+        new_state = RxState(fft1=wide["fft1"], mix1=state.mix1,
+                            fft3=state.fft3, mix2=state.mix2,
+                            bfo=state.bfo, am=state.am, fm=state.fm,
+                            coh=state.coh, agc=state.agc,
+                            sellim=wide["sellim"], timf2=wide["timf2"],
+                            fft2=wide["fft2"], blanker=wide["blanker"],
+                            spur=wide["spur"], squelch=state.squelch,
+                            pol=state.pol, mix2_fir=state.mix2_fir)
+        outputs = RxOutputs(audio=audio, baseb=baseb,
+                            fft1_power=aux["step_power"],
+                            fft1_avg_power=aux["sumsq"],
+                            agc_gain=gain, fft2_power=aux["fft2_power"],
+                            liminfo=aux["liminfo"],
+                            blanker_fitted=aux["blanker_fitted"],
+                            blanker_cleared=aux["blanker_cleared"],
+                            noise_floor=aux["noise_floor"])
+        return (new_state, nbs_out), outputs
+
+    state0 = RxState.create(geo, spur=p.spur_enable, fir_len=fir_len)
+    nbs0 = NBState.create_stacked(geo, n_subch,
+                                  pol=p.pol_adapt_enable,
+                                  fir_len=fir_len)
+    state_spec = jax.tree_util.tree_map(lambda _: P(), state0)
+    nbs_spec = jax.tree_util.tree_map(lambda _: P(), nbs0)
+    tables_spec = jax.tree_util.tree_map(lambda _: P(), tables0)
+    out_spec = jax.tree_util.tree_map(
+        lambda _: P(), ((state0, nbs0), _outputs_struct(geo, p)))
+    sharded = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(tables_spec, state_spec, nbs_spec, P(AXIS, None), P()),
         out_specs=out_spec, check_vma=False)
     return sharded
 
@@ -409,7 +476,8 @@ class ShardedReceiver:
     signal, z_NETWORK.txt); for throughput over independent recordings
     use one Receiver per device instead."""
 
-    def __init__(self, params: RxParams, devices=None):
+    def __init__(self, params: RxParams, devices=None,
+                 calibration: dict | None = None):
         from ..geometry import derive_geometry
         if devices is None:
             devices = jax.devices()
@@ -419,8 +487,11 @@ class ShardedReceiver:
             params = RxParams(**{**params.__dict__, "shards": d})
         self.params = params
         self.geo = derive_geometry(params)
-        self.tables = RxTables.create(self.geo, params)
-        self.state = RxState.create(self.geo, spur=params.spur_enable, pol=params.pol_adapt_enable)
+        self.tables = RxTables.create(self.geo, params, calibration)
+        self.state = RxState.create(
+            self.geo, spur=params.spur_enable,
+            pol=params.pol_adapt_enable,
+            fir_len=_fir_len(self.tables))
         pw = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables
@@ -445,7 +516,8 @@ class ShardedReceiver:
         self.control.on_tune(freq_hz)
 
     def process_block(self, block) -> RxOutputs:
-        block = jnp.asarray(block, jnp.complex64)
+        dt = jnp.complex64 if self.geo.iq_input else jnp.float32
+        block = jnp.asarray(block, dt)
         if block.ndim == 1:
             block = block[:, None]
         block = jax.device_put(block, self._block_sharding)
@@ -458,6 +530,65 @@ class ShardedReceiver:
                                          self._tune_bin)
         self._tune_bin, self.state = self.control.update(
             out, self._tune_bin, self.state)
+        return out
+
+    def run(self, iq: np.ndarray):
+        if iq.ndim == 1:
+            iq = iq[:, None]
+        s = self.geo.samples_per_step
+        if not self.geo.iq_input:
+            s *= 2
+        for i in range(iq.shape[0] // s):
+            yield self.process_block(iq[i * s:(i + 1) * s])
+
+
+class ShardedMultiReceiver:
+    """K independently tuned sub-receivers over ONE sharded wideband
+    front end — the mesh twin of pipeline.receiver.MultiReceiver
+    (reference userx consumers, globdef.h:1282-1294)."""
+
+    def __init__(self, params: RxParams, n_subch: int, devices=None,
+                 calibration: dict | None = None):
+        from ..geometry import derive_geometry
+        if devices is None:
+            devices = jax.devices()
+        self.mesh = Mesh(np.array(devices), (AXIS,))
+        d = len(devices)
+        if params.shards != d:
+            params = RxParams(**{**params.__dict__, "shards": d})
+        self.params = params
+        self.n_subch = n_subch
+        self.geo = derive_geometry(params)
+        self.tables = RxTables.create(self.geo, params, calibration)
+        fir_len = _fir_len(self.tables)
+        self.state = RxState.create(self.geo, spur=params.spur_enable,
+                                    fir_len=fir_len)
+        self.nbs = NBState.create_stacked(
+            self.geo, n_subch, pol=params.pol_adapt_enable,
+            fir_len=fir_len)
+        pw = 2
+        if self.geo.second_fft_enable:
+            from ..ops.blanker import BlankerTables
+            _, pw = BlankerTables.create(self.geo)
+        self._step = jax.jit(make_sharded_multi_rx_step(
+            self.geo, params, self.mesh, n_subch, pw))
+        self._tune_bins = np.zeros(n_subch, np.int64)
+        self._block_sharding = NamedSharding(self.mesh, P(AXIS, None))
+
+    def tune_subch(self, k: int, freq_hz: float) -> None:
+        n = self.geo.fftx_size
+        fs = self.geo.timf1_sampling_speed
+        self._tune_bins[k] = int(round(freq_hz / fs * n)) % n
+
+    def process_block(self, block) -> RxOutputs:
+        dt = jnp.complex64 if self.geo.iq_input else jnp.float32
+        block = jnp.asarray(block, dt)
+        if block.ndim == 1:
+            block = block[:, None]
+        block = jax.device_put(block, self._block_sharding)
+        (self.state, self.nbs), out = self._step(
+            self.tables, self.state, self.nbs, block,
+            jnp.asarray(self._tune_bins, jnp.int32))
         return out
 
     def run(self, iq: np.ndarray):
@@ -478,7 +609,8 @@ class ShardedBatchRunner:
     as across streamed ShardedReceiver steps (tested)."""
 
     def __init__(self, params: RxParams, k_steps: int = 16,
-                 outputs: tuple = ("audio", "baseb"), devices=None):
+                 outputs: tuple = ("audio", "baseb"), devices=None,
+                 calibration: dict | None = None):
         from ..geometry import derive_geometry
         if devices is None:
             devices = jax.devices()
@@ -490,8 +622,11 @@ class ShardedBatchRunner:
         self.geo = derive_geometry(params)
         self.k = k_steps
         self.outputs = tuple(outputs)
-        self.tables = RxTables.create(self.geo, params)
-        self.state = RxState.create(self.geo, spur=params.spur_enable, pol=params.pol_adapt_enable)
+        self.tables = RxTables.create(self.geo, params, calibration)
+        self.state = RxState.create(
+            self.geo, spur=params.spur_enable,
+            pol=params.pol_adapt_enable,
+            fir_len=_fir_len(self.tables))
         pw = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables

@@ -201,10 +201,24 @@ def narrowband_tail(geo: Geometry, p: RxParams, tables: RxTables,
     detector thread group, SURVEY.md §3.4).
 
     Returns (nb', audio, baseb, agc_gain)."""
-    fs_bb = geo.baseband_sampling_speed
-    with_carrier = p.demod == Demod.COHERENT
     s_mix1, timf3 = mix1_step(geo, tables.mix1, nb.mix1, fftx_spec,
                               tune_bin)
+    return narrowband_post_mix1(geo, p, tables, nb, s_mix1, timf3)
+
+
+def narrowband_post_mix1(geo: Geometry, p: RxParams, tables: RxTables,
+                         nb: NBState, s_mix1: Mix1State,
+                         timf3: jax.Array):
+    """fft3 -> mix2 -> demod -> AGC/expander/squelch on an
+    already-downconverted timf3 stream.  Shared between the single-chip
+    tail above and the sharded pipeline (parallel/sharded.py), which
+    computes mix1 shard-local and gathers timf3 before this replicated
+    finale — one implementation of the reference's narrowband thread
+    group (wcw.c:1240) for both execution modes.
+
+    Returns (nb', audio, baseb, agc_gain)."""
+    fs_bb = geo.baseband_sampling_speed
+    with_carrier = p.demod == Demod.COHERENT
     s_fft3, fft3_spec = fft3_step(geo, tables.fft3, nb.fft3, timf3)
     s_fir = nb.mix2_fir
     if p.mixer_mode == 2:

@@ -299,3 +299,123 @@ class TestGraftEntry:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestShardedUnified:
+    """The sharded pipeline consumes the SAME per-stage implementations
+    as the single-chip chain (ops.fft1.fft1_step,
+    chain.narrowband_post_mix1) — these tests pin the features that the
+    round-1 inline duplication silently lacked (VERDICT.md weak #3)."""
+
+    def test_iq_corr_matches_single_device(self):
+        from linrad_tpu import derive_geometry
+        p8 = RxParams(**_base(), shards=8)
+        g = derive_geometry(p8)
+        # synthetic widely-linear image-correction table (caliq.c foldcorr)
+        k = np.arange(g.fft1_size)
+        c = (0.04 * np.exp(2j * np.pi * k / g.fft1_size)
+             ).astype(np.complex64)[:, None]
+        cal = {"iq_corr": c}
+        srx = ShardedReceiver(p8, calibration=cal)
+        rx = Receiver(p8, calibration=cal)
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 3,
+                      [Tone(12_400.0)])
+        srx.tune(12_000.0)
+        rx.tune(12_000.0)
+        zs = np.concatenate([np.asarray(o.baseb) for o in srx.run(iq)])
+        z1 = np.concatenate([np.asarray(o.baseb) for o in rx.run(iq)])
+        np.testing.assert_allclose(zs, z1, atol=2e-4)
+        # and the correction actually engaged: differs from uncorrected
+        rx0 = Receiver(p8)
+        rx0.tune(12_000.0)
+        z0 = np.concatenate([np.asarray(o.baseb) for o in rx0.run(iq)])
+        assert np.abs(z1 - z0).max() > 1e-4
+
+    def test_real_mode_matches_single_device(self):
+        from linrad_tpu import InputMode
+        p8 = RxParams(**_base(input_mode=InputMode.REAL,
+                              filter_low_hz=-1000.0,
+                              filter_high_hz=1000.0), shards=8)
+        srx = ShardedReceiver(p8)
+        rx = Receiver(p8)
+        g = rx.geo
+        n = 2 * g.samples_per_step * 3
+        t = np.arange(n) / g.rx_ad_speed
+        x = np.cos(2 * np.pi * 12_400.0 * t).astype(np.float32)
+        srx.tune(12_000.0)
+        rx.tune(12_000.0)
+        zs = np.concatenate([np.asarray(o.baseb) for o in srx.run(x)])
+        z1 = np.concatenate([np.asarray(o.baseb) for o in rx.run(x)])
+        np.testing.assert_allclose(zs, z1, atol=2e-4)
+        # the tone actually came through at 400 Hz
+        zz = z1[len(z1) // 2:, 0]
+        tt = np.arange(len(zz)) / g.baseband_sampling_speed
+        amp = abs(np.vdot(np.exp(2j * np.pi * 400.0 * tt), zz) / len(zz))
+        assert amp == pytest.approx(1.0, rel=2e-2)
+
+    def test_mixer_mode2_matches_single_device(self):
+        from linrad_tpu.params import Demod
+        p8 = RxParams(**_base(mixer_mode=2, mix2_reduction_n=2,
+                              demod=Demod.NONE), shards=8)
+        srx = ShardedReceiver(p8)
+        rx = Receiver(p8)
+        g = rx.geo
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 4,
+                      [Tone(12_150.0)])
+        srx.tune(12_000.0)
+        rx.tune(12_000.0)
+        zs = np.concatenate([np.asarray(o.baseb) for o in srx.run(iq)])
+        z1 = np.concatenate([np.asarray(o.baseb) for o in rx.run(iq)])
+        np.testing.assert_allclose(zs, z1, atol=2e-4)
+        assert np.abs(z1[len(z1) // 3:]).mean() == pytest.approx(
+            1.0, rel=5e-2)
+
+
+class TestShardedMultiRx:
+    def test_matches_single_device_multi_rx(self):
+        from linrad_tpu.pipeline.receiver import MultiReceiver
+        from linrad_tpu.parallel import ShardedMultiReceiver
+        p8 = RxParams(**_base(), shards=8)
+        smx = ShardedMultiReceiver(p8, n_subch=3)
+        mx = MultiReceiver(p8, n_subch=3)
+        g = mx.geo
+        freqs = (12_000.0, 20_000.0, 33_000.0)
+        tones = [Tone(f + 250.0) for f in freqs]
+        iq = tones_iq(g.rx_ad_speed, g.samples_per_step * 3, tones)
+        for k, f in enumerate(freqs):
+            smx.tune_subch(k, f)
+            mx.tune_subch(k, f)
+        outs_s = list(smx.run(iq))
+        outs_1 = list(mx.run(iq))
+        zs = np.concatenate([np.asarray(o.baseb) for o in outs_s], axis=1)
+        z1 = np.concatenate([np.asarray(o.baseb) for o in outs_1], axis=1)
+        assert zs.shape == z1.shape and zs.shape[0] == 3
+        np.testing.assert_allclose(zs, z1, atol=2e-4)
+
+    def test_multi_rx_wideband_with_blanker(self):
+        from linrad_tpu.parallel import ShardedMultiReceiver
+        p8 = RxParams(**_base(second_fft_enable=True, blanker_enable=True,
+                              clever_bln_limit=6.0, stupid_bln_limit=4.0,
+                              max_pulses_per_block=64), shards=8)
+        smx = ShardedMultiReceiver(p8, n_subch=2)
+        g = smx.geo
+        rng = np.random.default_rng(4)
+        fs = g.rx_ad_speed
+        n = g.samples_per_step * 3
+        iq = (tones_iq(fs, n, [Tone(12_250.0), Tone(20_250.0)])
+              + ((rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.02
+                 ).astype(np.complex64)
+              + impulse_noise(rng, n, 50.0, fs, 30.0))
+        smx.tune_subch(0, 12_000.0)
+        smx.tune_subch(1, 20_000.0)
+        outs = list(smx.run(iq))
+        assert sum(int(o.blanker_fitted) for o in outs) > 20
+        audio = np.concatenate([np.asarray(o.audio) for o in outs],
+                               axis=1)
+        # each sub-receiver hears its own 250 Hz tone (at the 800 Hz BFO)
+        fs_bb = g.baseband_sampling_speed
+        for k in range(2):
+            a = audio[k, audio.shape[1] // 2:, 0]
+            spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+            fr = np.fft.rfftfreq(len(a), 1 / fs_bb)
+            assert fr[np.argmax(spec)] == pytest.approx(1050.0, abs=5.0)
