@@ -314,7 +314,8 @@ def _fir_len(tables: RxTables) -> int:
 
 def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                          blanker_pulsewidth: int = 2,
-                         per_frame_tune: bool = False):
+                         per_frame_tune: bool = False,
+                         tables: RxTables | None = None):
     """Build the sharded step.  Requires every per-shard chunk to hold an
     integer number of frames at every stage — derive the geometry with
     ``RxParams(shards=<mesh size>)``.
@@ -332,7 +333,7 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
     assert geo.fft3_frames_per_step % d == 0
     front, n_fftx_local = _make_sharded_front(geo, p, d,
                                               blanker_pulsewidth)
-    tables0 = RxTables.create(geo, p)
+    tables0 = tables if tables is not None else RxTables.create(geo, p)
     fir_len = _fir_len(tables0) if p.mixer_mode == 2 else 0
 
     def shard_body(tables: RxTables, state: RxState, block: jax.Array,
@@ -388,7 +389,8 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
 
 
 def make_sharded_multi_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
-                               n_subch: int, blanker_pulsewidth: int = 2):
+                               n_subch: int, blanker_pulsewidth: int = 2,
+                               tables: RxTables | None = None):
     """Sharded twin of chain.make_multi_rx_step: ONE sharded wideband
     front end feeding K independently tuned narrowband sub-receivers
     (the reference's network userx consumers, globdef.h:1282-1294,
@@ -406,7 +408,7 @@ def make_sharded_multi_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
         assert geo.fft2_frames_per_step % d == 0
     front, n_fftx_local = _make_sharded_front(geo, p, d,
                                               blanker_pulsewidth)
-    tables0 = RxTables.create(geo, p)
+    tables0 = tables if tables is not None else RxTables.create(geo, p)
     fir_len = _fir_len(tables0) if p.mixer_mode == 2 else 0
 
     def shard_body(tables: RxTables, state: RxState, nbs: NBState,
@@ -497,11 +499,12 @@ class ShardedReceiver:
             from ..ops.blanker import BlankerTables
             _, pw = BlankerTables.create(self.geo)
         self._step = jax.jit(
-            make_sharded_rx_step(self.geo, params, self.mesh, pw))
+            make_sharded_rx_step(self.geo, params, self.mesh, pw,
+                                 tables=self.tables))
         # AFC path: separate compilation with a per-frame-sharded tune
         self._step_afc = jax.jit(
             make_sharded_rx_step(self.geo, params, self.mesh, pw,
-                                 per_frame_tune=True))
+                                 per_frame_tune=True, tables=self.tables))
         self._tune_bin = jnp.zeros((), jnp.int32)
         self._block_sharding = NamedSharding(self.mesh, P(AXIS, None))
         self._tune_sharding = NamedSharding(self.mesh, P(AXIS))
@@ -571,7 +574,8 @@ class ShardedMultiReceiver:
             from ..ops.blanker import BlankerTables
             _, pw = BlankerTables.create(self.geo)
         self._step = jax.jit(make_sharded_multi_rx_step(
-            self.geo, params, self.mesh, n_subch, pw))
+            self.geo, params, self.mesh, n_subch, pw,
+            tables=self.tables))
         self._tune_bins = np.zeros(n_subch, np.int64)
         self._block_sharding = NamedSharding(self.mesh, P(AXIS, None))
 
@@ -595,6 +599,8 @@ class ShardedMultiReceiver:
         if iq.ndim == 1:
             iq = iq[:, None]
         s = self.geo.samples_per_step
+        if not self.geo.iq_input:
+            s *= 2
         for i in range(iq.shape[0] // s):
             yield self.process_block(iq[i * s:(i + 1) * s])
 

@@ -350,7 +350,8 @@ class MultiReceiver:
 
     def process_block(self, block) -> RxOutputs:
         """One step; outputs.audio/baseb/agc_gain have shape (K, S, C)."""
-        block = jnp.asarray(block, jnp.complex64)
+        dt = jnp.complex64 if self.geo.iq_input else jnp.float32
+        block = jnp.asarray(block, dt)
         if block.ndim == 1:
             block = block[:, None]
         (self.state, self.nbs), out = self._step(
@@ -363,5 +364,7 @@ class MultiReceiver:
         if iq.ndim == 1:
             iq = iq[:, None]
         s = self.geo.samples_per_step
+        if not self.geo.iq_input:
+            s *= 2
         for i in range(iq.shape[0] // s):
             yield self.process_block(iq[i * s:(i + 1) * s])

@@ -412,10 +412,15 @@ class TestShardedMultiRx:
         assert sum(int(o.blanker_fitted) for o in outs) > 20
         audio = np.concatenate([np.asarray(o.audio) for o in outs],
                                axis=1)
-        # each sub-receiver hears its own 250 Hz tone (at the 800 Hz BFO)
+        # each sub-receiver hears its own 250 Hz tone at the 800 Hz BFO;
+        # the LO quantises to an fftx bin, so the residual offset
+        # f - round(f/fs*N)*fs/N shifts the audio tone accordingly
         fs_bb = g.baseband_sampling_speed
-        for k in range(2):
+        nfft = g.fftx_size
+        for k, f in enumerate((12_000.0, 20_000.0)):
+            lo = round(f / fs * nfft) * fs / nfft
+            expect = (f + 250.0) - lo + 800.0
             a = audio[k, audio.shape[1] // 2:, 0]
             spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
             fr = np.fft.rfftfreq(len(a), 1 / fs_bb)
-            assert fr[np.argmax(spec)] == pytest.approx(1050.0, abs=5.0)
+            assert fr[np.argmax(spec)] == pytest.approx(expect, abs=5.0)
