@@ -36,13 +36,16 @@ class FFT1Tables:
     @classmethod
     def create(cls, geo: Geometry,
                filtercorr: np.ndarray | None = None,
-               iq_corr: np.ndarray | None = None) -> "FFT1Tables":
+               iq_corr: np.ndarray | None = None,
+               edge_taper: bool = True) -> "FFT1Tables":
         # real input transforms 2N real samples per frame (the
         # real-to-complex fold, fft_cntrl real2complex fft1var.c:43-65)
         wsize = geo.fft1_size if geo.iq_input else 2 * geo.fft1_size
         win = make_window(wsize, geo.fft1_sinpow).astype(np.float32)
         if filtercorr is None:
             fc = np.ones((geo.fft1_size, geo.channels), np.complex64)
+            if edge_taper:
+                fc *= edge_taper_response(geo)[:, None]
         else:
             fc = np.asarray(filtercorr, np.complex64)
             if fc.ndim == 1:
@@ -55,6 +58,31 @@ class FFT1Tables:
             iq = jnp.asarray(iq)
         return cls(window=jnp.asarray(win), filtercorr=jnp.asarray(fc),
                    iq_corr=iq)
+
+
+def edge_taper_response(geo: Geometry) -> np.ndarray:
+    """Default uncalibrated desired response: sin^2 taper of the 4 bins
+    on each side of the band edge, filtering A/D DC-offset artifacts at
+    frequency 0 and fft1_size/2 (clear_fft1_filtercorr fft1.c:5196-5222).
+
+    The reference stores spectra DC-centred, tapering its bins 0..3 and
+    N-1..N-4 — both sides of the *edge* of the IQ passband.  In our
+    DC-at-0 order that edge is bin N/2 (±Nyquist): bins N/2+j and
+    N/2-1-j (j=0..3) get sin^2(j*pi/8).  Real mode tapers only the top
+    (Nyquist) bins, matching the non-IQ branch of the reference.
+    """
+    n = geo.fft1_size
+    taper = np.array([np.sin(j * np.pi / 8) ** 2 for j in range(4)],
+                     np.float32)
+    r = np.ones(n, np.float32)
+    if geo.iq_input:
+        for j in range(4):
+            r[(n // 2 + j) % n] = taper[j]
+            r[(n // 2 - 1 - j) % n] = taper[j]
+    else:
+        for j in range(4):
+            r[n - 1 - j] = taper[j]
+    return r
 
 
 @pytree_dataclass

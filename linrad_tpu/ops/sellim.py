@@ -82,7 +82,15 @@ def update_liminfo(geo: Geometry, state: SellimState, avg_power: jax.Array,
     sel_lo/sel_hi: protected passband bin range (traced), or None.
     """
     n = geo.fft1_size
-    p = jnp.maximum(avg_power, 1e-30)
+    # Work in band-ascending order (the reference's axis: its bin 0 is
+    # the lowest frequency = our bin n/2 for IQ input), so skirt/taper
+    # dilation never wraps across the true band edge, the noise-floor
+    # groups are contiguous in frequency, and the outermost-bin forcing
+    # (sellim.c:1152-1157) lands on the real band edges.
+    half = n // 2 if geo.iq_input else 0
+    p = jnp.roll(jnp.maximum(avg_power, 1e-30), half)
+    old_liminfo = jnp.roll(state.liminfo, half)
+    old_wait = jnp.roll(state.liminfo_wait, half)
     limit = jnp.float32(sellim_limit(geo, maxlevel))
 
     # 1. threshold + 2. bounded skirt extension
@@ -99,7 +107,7 @@ def update_liminfo(geo: Geometry, state: SellimState, avg_power: jax.Array,
     # 3. common region gain with temporal smoothing
     maxval = segment_max(p, strong)
     gain = jnp.sqrt(limit / jnp.maximum(maxval, limit))
-    old_pos = jnp.where(state.liminfo > 0, state.liminfo, jnp.inf)
+    old_pos = jnp.where(old_liminfo > 0, old_liminfo, jnp.inf)
     old_gain = segment_min(old_pos, strong)
     ratio = old_gain / jnp.maximum(gain, 1e-20)
     smooth = (ratio > 0.1) & (ratio < 10.0) & jnp.isfinite(old_gain)
@@ -145,22 +153,26 @@ def update_liminfo(geo: Geometry, state: SellimState, avg_power: jax.Array,
     wait_n = jnp.int32(min(255, 1 + int(1.0 / max(
         geo.fft1_frames_per_step * blocktime, 1e-9)) + 1))
     is_strong = lim != 0.0
-    wait = jnp.where(is_strong, wait_n,
-                     jnp.maximum(state.liminfo_wait - 1, 0))
+    wait = jnp.where(is_strong, wait_n, jnp.maximum(old_wait - 1, 0))
     lim = jnp.where(~is_strong & (wait > 0), -1.0, lim)
     # gains may only rise by RELEASE_FACTOR per update (sellim.c:1141)
-    old = state.liminfo
-    cap = jnp.where(old > 0, old * RELEASE_FACTOR, jnp.inf)
+    cap = jnp.where(old_liminfo > 0, old_liminfo * RELEASE_FACTOR,
+                    jnp.inf)
     lim = jnp.where((lim > 0) & (lim > cap) & (cap < 1.0), cap, lim)
 
-    # 7. protected passband + edge bins
+    # 7. outermost (band-edge) bins forced weak (sellim.c:1152-1157)
+    edge = (jnp.arange(n) < 2) | (jnp.arange(n) >= n - 2)
+    lim = jnp.where(edge, 0.0, lim)
+
+    # back to our DC-at-0 bin order, then the protected passband
+    # (selfreq_liminfo, our-order coordinates)
+    lim = jnp.roll(lim, -half)
+    wait = jnp.roll(wait, -half)
     if sel_lo is not None:
         idx = jnp.arange(n)
         in_sel = (idx >= sel_lo) & (idx <= sel_hi)
         lim = jnp.where(in_sel, 0.0, lim)
         wait = jnp.where(in_sel, 0, wait)
-    edge = (jnp.arange(n) < 2) | (jnp.arange(n) >= n - 2)
-    lim = jnp.where(edge, 0.0, lim)
 
     return SellimState(liminfo=lim, liminfo_wait=wait)
 

@@ -160,6 +160,14 @@ def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
             nf = state.blanker.noise_floor
             n_fit = jnp.int32(0)
             n_clear = jnp.int32(0)
+            # floor tracked from PRE-blank power (matches chain.py: the
+            # despiked mean rejects pulses; post-blank tracking feeds
+            # back through the cleared zeros)
+            mean = jax.lax.pmean(blanker_ops.despiked_mean(wpwr), AXIS)
+            a_nf = jnp.float32(min(1.0, step_seconds))
+            s_blank = blanker_ops.BlankerState(
+                noise_floor=jnp.maximum(
+                    nf * (1 - a_nf) + mean * a_nf, 1e-20))
             if p.blanker_enable:
                 # clever blanker with cross-shard halos: each shard sees
                 # one fit-window of neighbour samples so boundary pulses
@@ -214,11 +222,6 @@ def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
                                   .astype(jnp.int32))
                 n_fit = jax.lax.psum(n_fit, AXIS)
                 n_clear = jax.lax.psum(n_clear, AXIS)
-            mean = jax.lax.pmean(blanker_ops.despiked_mean(wpwr), AXIS)
-            a_nf = jnp.float32(min(1.0, step_seconds))
-            s_blank = blanker_ops.BlankerState(
-                noise_floor=jnp.maximum(
-                    nf * (1 - a_nf) + mean * a_nf, 1e-20))
             nf_out = s_blank.noise_floor
             # fft2 framing over the sharded timf2 stream
             timf2 = weak + strong

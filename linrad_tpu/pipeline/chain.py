@@ -318,6 +318,13 @@ def _make_wideband_front(geo: Geometry, p: RxParams,
             nf = state.blanker.noise_floor
             n_fit = jnp.int32(0)
             n_clear = jnp.int32(0)
+            # track the floor from the PRE-blank power: the despiked
+            # mean already rejects pulses, and tracking post-blank
+            # power feeds back (cleared zeros shrink the floor, which
+            # clears more — the spiral the reference guards against
+            # with its rate>20% floor raise, blank1.c:1573-1586)
+            s_blank = blanker_ops.update_noise_floor(
+                state.blanker, wpwr, step_seconds)
             if p.blanker_enable:
                 weak, wpwr, n_fit = blanker_ops.clever_blanker(
                     weak, wpwr, tables.blanker, nf, p.clever_bln_limit,
@@ -327,8 +334,6 @@ def _make_wideband_front(geo: Geometry, p: RxParams,
                 weak, wpwr, n_clear = blanker_ops.stupid_blanker(
                     weak, wpwr, nf, p.stupid_bln_limit,
                     blanker_pulsewidth)
-            s_blank = blanker_ops.update_noise_floor(
-                state.blanker, wpwr, step_seconds)
             s_fft2, fftx_spec, fft2_power = fft2_step(
                 geo, tables.fft2, state.fft2, weak, strong, p.fft_avg1num)
             liminfo_out = s_sellim.liminfo

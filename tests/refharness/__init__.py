@@ -84,6 +84,12 @@ def load():
     lib.ref_fft_real_to_hermitian.argtypes = [
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.c_int]
+    lib.ref_set_var.restype = ctypes.c_int
+    lib.ref_set_var.argtypes = [ctypes.c_char_p, ctypes.c_double]
+    lib.ref_get_var.restype = ctypes.c_double
+    lib.ref_get_var.argtypes = [ctypes.c_char_p]
+    lib.ref_update_liminfo.restype = ctypes.c_int
+    lib.ref_set_liminfo_auto.argtypes = [ctypes.c_int]
     _lib = lib
     return lib
 
@@ -177,6 +183,34 @@ class RefChain:
         if rc < 0:
             raise RuntimeError(f"ref_run_wideband err {rc}")
         return rc
+
+    def set_var(self, name: str, val: float):
+        if self.lib.ref_set_var(name.encode(), float(val)) != 0:
+            raise KeyError(name)
+
+    def get_var(self, name: str) -> float:
+        v = self.lib.ref_get_var(name.encode())
+        if v == -999999.0:
+            raise KeyError(name)
+        return float(v)
+
+    def update_liminfo(self):
+        rc = self.lib.ref_update_liminfo()
+        if rc != 0:
+            raise RuntimeError(f"ref_update_liminfo err {rc}")
+
+    def set_liminfo_auto(self, on: bool):
+        self.lib.ref_set_liminfo_auto(1 if on else 0)
+
+    def timf2_stream(self, npoints: int, start: int = 0) -> np.ndarray:
+        """timf2 as (npoints, 2, channels) complex64 [weak, strong] —
+        the 4*channels floats-per-point layout (timf2.c fp_finish)."""
+        ch = self.rf_channels
+        raw = self.array("timf2_float", (start + npoints) * 4 * ch)
+        pts = raw[start * 4 * ch:].reshape(npoints, 2 * ch, 2)
+        z = (pts[:, :, 0] + 1j * pts[:, :, 1]).astype(np.complex64)
+        # per point: weak ch0 [, weak ch1], strong ch0 [, strong ch1]
+        return z.reshape(npoints, 2, ch)
 
     def tune(self, hz: float):
         rc = self.lib.ref_tune(float(hz))

@@ -221,6 +221,11 @@ void do_fft1_c(void);
 
 int refapi_setup_done = 0;
 
+/* liminfo bookkeeping (wcw.c:525-529 locals of the wideband thread) */
+static int local_fft1_liminfo_cnt = 0;
+static int local_fft2_liminfo_cnt = 0;
+static int liminfo_auto = 1;
+
 void ref_teardown(void)
 {
   if (refapi_setup_done) {
@@ -252,6 +257,9 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
    * band edges uncalibrated. */
   screen_width = 34000;
   screen_height = 768;
+  /* normally set by init_font (fonts.c:10203), which is not compiled
+   * headless; init_hires_graph's placement check loops forever on 0 */
+  screen_last_xpixel = screen_width - 1;
   text_width = 8;
   text_height = 16;
   no_of_scro = 0;
@@ -291,13 +299,16 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
 
   fft1_correlation_flag = 0;
 
+  if(getenv("REF_TRACE"))fprintf(stderr,"[ref] sizes\n");
   get_wideband_sizes();
   if (kill_all_flag) return -refapi_errcode;
+  if(getenv("REF_TRACE"))fprintf(stderr,"[ref] buffers\n");
   get_buffers(1);
   if (kill_all_flag || lir_status != LIR_OK)
     return refapi_errcode ? -refapi_errcode : lir_status;
   refapi_setup_done = 1;
   check_filtercorr_direction();
+  if(getenv("REF_TRACE"))fprintf(stderr,"[ref] wide_graph\n");
   init_wide_graph();
   if (kill_all_flag || lir_status != LIR_OK)
     return refapi_errcode ? -refapi_errcode : lir_status;
@@ -310,13 +321,16 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
   wg.xpoints = fft1_size;
   wg.pixels_per_xpoint = 1;
   wg.xpoints_per_pixel = 1;
+  if(getenv("REF_TRACE"))fprintf(stderr,"[ref] make_wide\n");
   make_wide_graph(0);
   if (kill_all_flag || lir_status != LIR_OK)
     return refapi_errcode ? -refapi_errcode : lir_status;
   if (genparm[SECOND_FFT_ENABLE] != 0) {
+    if(getenv("REF_TRACE"))fprintf(stderr,"[ref] blanker\n");
     init_blanker();
     if (kill_all_flag || lir_status != LIR_OK)
       return refapi_errcode ? -refapi_errcode : lir_status;
+    if(getenv("REF_TRACE"))fprintf(stderr,"[ref] hires\n");
     init_hires_graph();
     if (kill_all_flag || lir_status != LIR_OK)
       return refapi_errcode ? -refapi_errcode : lir_status;
@@ -326,9 +340,11 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
     if (kill_all_flag || lir_status != LIR_OK)
       return refapi_errcode ? -refapi_errcode : lir_status;
   }
+  if(getenv("REF_TRACE"))fprintf(stderr,"[ref] baseband\n");
   init_baseband_graph();
   if (kill_all_flag || lir_status != LIR_OK)
     return refapi_errcode ? -refapi_errcode : lir_status;
+  if(getenv("REF_TRACE"))fprintf(stderr,"[ref] coherent\n");
   init_coherent_graph();
   if (kill_all_flag || lir_status != LIR_OK)
     return refapi_errcode ? -refapi_errcode : lir_status;
@@ -337,6 +353,9 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
     thread_command_flag[i] = THRFLAG_ACTIVE;
     thread_status_flag[i] = THRFLAG_ACTIVE;
   }
+  local_fft1_liminfo_cnt = fft1_liminfo_cnt;
+  local_fft2_liminfo_cnt = fft2_liminfo_cnt;
+  liminfo_auto = 1;
   /* keep the S-meter section of fft3_mix2 disabled (its gate is
    * mg.avgnum > 0, mix2.c:1358): headless there is no meter graph, and
    * with one RF channel the meter writer indexes mg_rms_meter[2*mg_pa+1]
@@ -504,6 +523,9 @@ void *ref_array(const char *name)
   if (!strcmp(name, "mix1_fqwin")) return mix1_fqwin;
   if (!strcmp(name, "bg_filterfunc")) return bg_filterfunc;
   if (!strcmp(name, "daout")) return daout;
+  if (!strcmp(name, "blanker_flag")) return blanker_flag;
+  if (!strcmp(name, "fft1_inverted_window")) return fft1_inverted_window;
+  if (!strcmp(name, "liminfo_group_min")) return liminfo_group_min;
   return NULL;
 }
 
@@ -590,14 +612,68 @@ int ref_run_wideband(void)
       first_noise_blanker();
       while (((timf2_pn2 - timf2_px + timf2_size) & timf2_mask)
              >= 4 * ui.rx_rf_channels * fft2_size) {
-        make_fft2();
-        if (kill_all_flag) return -refapi_errcode;
+        /* one whole transform per chunk-loop pass (wcw.c:280-285) */
+        make_fft2_status = FFT2_NOT_ACTIVE;
+        while (make_fft2_status != FFT2_COMPLETE) {
+          make_fft2();
+          if (kill_all_flag) return -refapi_errcode;
+        }
       }
     }
     if (kill_all_flag) return -refapi_errcode;
     done++;
   }
+  /* selective-limiter update on the wakeup cadence (wcw.c:1124-1132):
+   * once per drive call, after all pending transforms are processed */
+  if (liminfo_auto && genparm[SECOND_FFT_ENABLE] != 0) {
+    if (fft1_liminfo_cnt != local_fft1_liminfo_cnt) {
+      fft1_update_liminfo();
+      local_fft1_liminfo_cnt = fft1_liminfo_cnt;
+    }
+    if (fft2_liminfo_cnt != local_fft2_liminfo_cnt) {
+      fft2_update_liminfo();
+      local_fft2_liminfo_cnt = fft2_liminfo_cnt;
+    }
+    if (kill_all_flag) return -refapi_errcode;
+  }
   return done;
+}
+
+/* explicit liminfo update for deterministic tests (use with
+ * ref_set_liminfo_auto(0) and wg.fft_avg1num larger than the feed) */
+int ref_update_liminfo(void)
+{
+  fft1_update_liminfo();
+  local_fft1_liminfo_cnt = fft1_liminfo_cnt;
+  if (kill_all_flag) return -refapi_errcode;
+  return 0;
+}
+
+void ref_set_liminfo_auto(int on) { liminfo_auto = on; }
+
+/* direct access to blanker scalar state for pinned-state parity tests */
+int ref_set_var(const char *name, double val)
+{
+  if (!strcmp(name, "timf2_noise_floor")) {
+    timf2_noise_floor = val; return 0; }
+  if (!strcmp(name, "blanker_info_update_interval")) {
+    blanker_info_update_interval = (int)val; return 0; }
+  if (!strcmp(name, "min_delay_time")) {
+    min_delay_time = val; return 0; }
+  return -1;
+}
+
+double ref_get_var(const char *name)
+{
+  if (!strcmp(name, "timf2_noise_floor")) return timf2_noise_floor;
+  if (!strcmp(name, "blnfit_range")) return blnfit_range;
+  if (!strcmp(name, "blanker_info_update_interval"))
+    return blanker_info_update_interval;
+  if (!strcmp(name, "min_delay_time")) return min_delay_time;
+  if (!strcmp(name, "timf2p_fit")) return timf2p_fit;
+  if (!strcmp(name, "fft1_sumsq_counter")) return fft1_sumsq_counter;
+  if (!strcmp(name, "fft1_liminfo_cnt")) return fft1_liminfo_cnt;
+  return -999999.0;
 }
 
 /* ------------------------------------------------------------------ */

@@ -62,7 +62,9 @@ class TestFiltercorr:
     def test_receiver_applies_filtercorr(self):
         p = RxParams(fft1_n_override=10, agc_enable=False)
         geo = derive_geometry(p)
-        fc = np.full((geo.fft1_size,), 0.5 + 0.0j, np.complex64)
+        from linrad_tpu.ops.fft1 import edge_taper_response
+        # half the default (tapered) response, so power is exactly 1/4
+        fc = (0.5 * edge_taper_response(geo)).astype(np.complex64)
         rx_cal = Receiver(p, calibration={"filtercorr": fc})
         rx_ref = Receiver(p)
         iq = tones_iq(geo.rx_ad_speed, geo.samples_per_step,

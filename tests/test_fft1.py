@@ -57,7 +57,7 @@ class TestFFTVariants:
 class TestFFT1:
     def test_matches_scipy_stft(self):
         geo = _geo(first_fft_sinpow=2)
-        tables = FFT1Tables.create(geo)
+        tables = FFT1Tables.create(geo, edge_taper=False)
         state = FFT1State.create(geo)
         rng = np.random.default_rng(2)
         n = geo.samples_per_step
@@ -93,7 +93,7 @@ class TestFFT1:
 
     def test_streaming_equals_batch(self):
         geo = _geo()
-        tables = FFT1Tables.create(geo)
+        tables = FFT1Tables.create(geo, edge_taper=False)
         rng = np.random.default_rng(3)
         n = geo.samples_per_step
         x = (rng.normal(size=2 * n) + 1j * rng.normal(size=2 * n)).astype(
@@ -115,7 +115,7 @@ class TestFFT1:
         geo = _geo()
         fc = np.exp(1j * np.linspace(0, np.pi, geo.fft1_size)).astype(
             np.complex64)
-        t_id = FFT1Tables.create(geo)
+        t_id = FFT1Tables.create(geo, edge_taper=False)
         t_fc = FFT1Tables.create(geo, filtercorr=fc)
         rng = np.random.default_rng(4)
         n = geo.samples_per_step

@@ -1,0 +1,511 @@
+"""Golden parity for the wideband branch (second_fft=1) against the
+compiled reference — BASELINE configs 3/4 (VERDICT r2 item 1).
+
+Covers the chain's hardest kernels, never before compared to reference
+output: the liminfo split + back transform (make_timf2 timf2.c:31-208 +
+fft1back_fp_finish timf2.c:970-1160), the stupid blanker
+(blank1.c:1013-1083) and the second FFT (make_fft2 fft2.c:52-1848).
+
+Conventions established empirically on broadband noise (see the
+timf2/fft2 mapping fits below; both are float32-exact):
+
+* timf2:  ``ref_weak[t] = s * (-1)^t * conj(ours_weak[t])`` at lag 0 —
+  the fft1 store is DC-centred + conjugated (test_ref_parity.py), and
+  the inherited fftshift becomes the (-1)^t alternation after the back
+  transform.  s is real: fft size x ampfac (1/2^FIRST_BCKFFT_ATT_N,
+  timf2.c:976) x the window/filtercorr normalisation constants.
+* The reference's *uncalibrated default* fft1_filtercorr tapers 4 bins
+  on each side of the IQ band edge (clear_fft1_filtercorr
+  fft1.c:5196-5222); ours reproduces it (ops/fft1.edge_taper_response),
+  without which timf2 agreement stalls at ~4 % broadband residual.
+* fft2:  ``ref2[r] = s2 * conj(fftshift(ours2[r+1]))`` — same
+  DC-centred + conjugated store as fft1; our frame r+1 matches the
+  reference's frame r because our framer zero-primes one interleave.
+"""
+
+import ctypes
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from refharness import RefChain, available  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not available(),
+                                reason="reference tree not mounted")
+
+FS = 96000.0
+
+
+@pytest.fixture(scope="module")
+def jnp():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    return jnp
+
+
+def _wide_ref(**kw):
+    rc = RefChain(ad_speed=96000, second_fft=1, sinpow=2, **kw)
+    rc.set_liminfo_auto(False)       # static all-weak liminfo
+    rc.set_hg("clever_bln_mode", 0)
+    rc.set_hg("stupid_bln_mode", 0)
+    return rc
+
+
+def _wide_geo(rc, frames_per_step=16):
+    from linrad_tpu.geometry import derive_geometry
+    from linrad_tpu.params import RxParams
+    n = rc.geo("fft1_size")
+    n2 = rc.geo("fft2_size")
+    params = RxParams(
+        rx_ad_speed=96000, fft1_n_override=int(math.log2(n)),
+        first_fft_sinpow=2, second_fft_enable=True,
+        second_fft_sinpow=2, second_fft_ninc=2,
+        mix1_bandwidth_reduction_n=int(
+            math.log2(n2 // rc.geo("mix1_size"))),
+        fft3_n=int(math.log2(rc.geo("fft3_size"))),
+        mix2_reduction_n=int(math.log2(rc.geo("fft3_size")
+                                       // rc.geo("mix2_size"))),
+        target_fft1_frames_per_step=frames_per_step,
+        agc_enable=False)
+    geo = derive_geometry(params)
+    assert geo.fft1_size == n
+    assert geo.fft2_size == n2
+    assert geo.fft2_new_points == rc.geo("fft2_new_points")
+    assert geo.fft1_new_points == rc.geo("fft1_new_points")
+    return geo, params
+
+
+def _run_ours_wideband(geo, iq, jnp, blanker=None):
+    """fft1 -> (all-weak) timf2 [-> blanker] -> fft2 on the raw stream.
+
+    blanker: None, or (noise_floor, stupid_limit_amp, pulsewidth).
+    Returns (weak, weak_pwr, fft2_frames)."""
+    from linrad_tpu.ops import blanker as blanker_ops
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.fft2 import FFT2State, FFT2Tables, fft2_step
+    from linrad_tpu.ops.timf2 import (Timf2State, make_timf2_syn,
+                                      timf2_step)
+    n = geo.fft1_size
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    syn = make_timf2_syn(geo)
+    st2 = Timf2State.create(geo)
+    tf2, sf2 = FFT2Tables.create(geo), FFT2State.create(geo)
+    wg = jnp.ones(n, jnp.float32)
+    sg = jnp.zeros(n, jnp.float32)
+    spp = geo.fft1_frames_per_step * geo.fft1_new_points
+    weak_all, pwr_all, f2_all = [], [], []
+    for s in range(len(iq) // spp):
+        blk = iq[s * spp:(s + 1) * spp].astype(np.complex64)[:, None]
+        s1, spec, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
+        st2, weak, strong, wpwr = timf2_step(geo, syn, st2, spec, wg, sg)
+        if blanker is not None:
+            nf, lim, pw = blanker
+            weak, wpwr, _ = blanker_ops.stupid_blanker(
+                weak, wpwr, jnp.float32(nf), lim, pw)
+        sf2, spec2, _ = fft2_step(geo, tf2, sf2, weak, strong)
+        weak_all.append(np.asarray(weak[:, 0]))
+        pwr_all.append(np.asarray(wpwr))
+        f2_all.append(np.asarray(spec2[:, :, 0]))
+    return (np.concatenate(weak_all), np.concatenate(pwr_all),
+            np.concatenate(f2_all, axis=0))
+
+
+def _fit_altconj(ours, ref, skip, mask=None):
+    """Fit ref[t] ~ s*(-1)^t*conj(ours[t]); returns (s, maxrel)."""
+    t = np.arange(len(ours))
+    a = ((-1.0) ** t) * np.conj(ours)
+    a, b = a[skip:], ref[skip:len(ours)]
+    if mask is not None:
+        m = mask[skip:len(ours)]
+        a, b = a[m], b[m]
+    s = np.vdot(a, b) / np.vdot(a, a)
+    err = np.abs(b - s * a)
+    return s, float(err.max() / np.abs(b).max())
+
+
+def test_timf2_exact_vs_reference_all_weak(jnp):
+    """All-weak back transform + OLA reproduces the reference's timf2
+    weak stream float32-exactly (make_timf2 + fft1back_fp_finish)."""
+    rc = _wide_ref()
+    geo, _p = _wide_geo(rc)
+    newp = geo.fft1_new_points
+    rng = np.random.default_rng(3)
+    nsamp = newp * 64
+    iq = np.round(3000 * (rng.standard_normal(nsamp)
+                          + 1j * rng.standard_normal(nsamp)))
+    rc.feed_iq(iq)
+    rc.run_wideband()
+    pts = rc.geo("timf2_pa") // 4
+    ref = rc.timf2_stream(pts)
+    ours_w, _pwr, _f2 = _run_ours_wideband(geo, iq, jnp)
+    m = min(len(ours_w), pts) - geo.fft1_size   # drop the partial tail
+    s, maxrel = _fit_altconj(ours_w[:m], ref[:m, 0, 0], skip=3000)
+    assert abs(s.imag) < 1e-3 * abs(s.real)
+    assert maxrel < 1e-5, (s, maxrel)
+    # everything weak: the strong stream is exactly zero in both
+    assert np.abs(ref[:m, 1, 0]).max() == 0.0
+
+
+def test_fft2_exact_vs_reference_all_weak(jnp):
+    """The second FFT reproduces the reference's fft2_float transforms
+    float32-exactly (make_fft2 big-FFT path, fft2.c:90-141)."""
+    rc = _wide_ref()
+    geo, _p = _wide_geo(rc)
+    newp = geo.fft1_new_points
+    n2 = geo.fft2_size
+    rng = np.random.default_rng(5)
+    nsamp = newp * 64
+    iq = np.round(3000 * (rng.standard_normal(nsamp)
+                          + 1j * rng.standard_normal(nsamp)))
+    rc.feed_iq(iq)
+    rc.run_wideband()
+    nfft2 = rc.geo("fft2_na")
+    assert nfft2 >= 8
+    raw2 = rc.array("fft2_float", nfft2 * 2 * n2).copy()
+    _w, _p2, ours2 = _run_ours_wideband(geo, iq, jnp)
+    ss = []
+    for r in range(2, nfft2):
+        ref_fr = raw2[r * 2 * n2:(r + 1) * 2 * n2]
+        ref_fr = ref_fr[0::2] + 1j * ref_fr[1::2]
+        a = np.conj(np.fft.fftshift(ours2[r + 1]))
+        s = np.vdot(a, ref_fr) / np.vdot(a, a)
+        err = np.abs(ref_fr - s * a)
+        maxrel = err.max() / np.abs(ref_fr).max()
+        assert maxrel < 1e-5, (r, s, maxrel)
+        ss.append(s)
+    # one constant scale across frames
+    ss = np.array(ss)
+    assert np.abs(ss - ss.mean()).max() < 1e-3 * abs(ss.mean())
+
+
+def test_liminfo_classification_vs_reference(jnp):
+    """Selective-limiter classification parity (fft1_update_liminfo
+    sellim.c:738-867, the strong-signal limloop).
+
+    Deterministic protocol: wg.fft_avg1num larger than the feed, so the
+    reference's fft1_sumsq slot accumulates exactly k spectra and never
+    advances; ref_update_liminfo() then reads a known sum.  Our limit is
+    scaled to the equivalent threshold on our mean spectrum (the
+    reference's spectra carry the fft1_filtercorr_start constant =
+    0.137449, fft1.c:5196; sumsq is a k-sum of channel-power pairs).
+    The noise-floor branch is gated off on both sides (wg.spek_avgnum
+    huge / ston huge) — it is covered by the full-chain test below."""
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.sellim import (SellimState, sellim_limit,
+                                       update_liminfo)
+
+    rc = _wide_ref()
+    geo, _p = _wide_geo(rc)
+    n = geo.fft1_size
+    newp = geo.fft1_new_points
+    k = 16
+    rc.set_wg("fft_avg1num", 1000)     # no slot wrap within the feed
+    rc.set_wg("spek_avgnum", 1e9)      # noise-floor branch never runs
+    m_ref = 10000.0
+    rc.set_genparm(10, int(m_ref))     # SELLIM_MAXLEVEL
+
+    rng = np.random.default_rng(21)
+    t = np.arange(k * newp) / FS
+    iq = (6000.0 * np.exp(2j * np.pi * 12000.0 * t)
+          + 2500.0 * np.exp(2j * np.pi * 31171.875 * t)   # off-bin
+          + 30.0 * (rng.standard_normal(len(t))
+                    + 1j * rng.standard_normal(len(t))))
+    iq = np.round(iq)
+    rc.feed_iq(iq)
+    assert rc.run_wideband() == k
+    rc.update_liminfo()
+    lim_ref = rc.array("liminfo", 2 * n)[:n].copy()
+
+    # ours: same k spectra, equivalent threshold on the mean spectrum
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    blk = iq.astype(np.complex64)[:, None]
+    _, spec, _ = fft1_step(geo, t1, s1, jnp.asarray(blk), avg1num=8)
+    avg_p = np.mean(np.abs(np.asarray(spec)[:, :, 0]) ** 2, axis=0)
+    # ref spectra = c_win * fcs * conj(fftshift(ours)): the reference
+    # window carries the normalisation constant c_win (fft1_window sums
+    # pairwise to 1.63193, make_window fft0.c) and do_fft1_c multiplies
+    # the default filtercorr constant fcs (fft1.c:5196)
+    fcs = 0.137449
+    c_win = 1.6319311
+    l_ref = m_ref ** 2 * 1000.0 * 1 * n / geo.fft2_size
+    l_ours = l_ref / (k * (fcs * c_win) ** 2)
+    m_ours = math.sqrt(l_ours / sellim_limit(geo, 1.0))
+    st = update_liminfo(geo, SellimState.create(geo),
+                        jnp.asarray(avg_p, jnp.float32), m_ours,
+                        ston=1e12)
+    lim_ours = np.roll(np.asarray(st.liminfo), n // 2)  # ref bin order
+
+    strong_ref = lim_ref != 0
+    strong_ours = lim_ours != 0
+    agree = np.mean(strong_ref == strong_ours)
+    assert agree > 0.98, agree
+    # both flag the two carriers (ref bin = our bin + n/2)
+    for f in (12000.0, 31171.875):
+        b = (int(round(f / FS * n)) + n // 2) % n
+        assert strong_ref[b] and strong_ours[b], (f, b)
+    # matched gains where both scale (t2 = sqrt(limit/maxval))
+    both = (lim_ref > 0) & (lim_ours > 0)
+    assert both.sum() >= 2
+    ratio = lim_ours[both] / lim_ref[both]
+    assert np.all((ratio > 1 / 1.5) & (ratio < 1.5)), ratio
+
+
+def test_liminfo_full_chain_vs_reference(jnp):
+    """Classification agreement with the live update cadence and the
+    noise-floor branch engaged (sellim.c:867-1100): strong carrier in
+    noise, both chains running their own averaging/hysteresis.  The
+    estimators legitimately differ (slowsum+waterf_yfac vs EMA;
+    3-smallest groups vs top-k) so the assertion is behavioural: the
+    carrier region is strong in both, and weak/strong maps agree over
+    nearly all bins."""
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.sellim import SellimState, update_liminfo
+
+    rc = RefChain(ad_speed=96000, second_fft=1, sinpow=2)
+    rc.set_hg("clever_bln_mode", 0)
+    rc.set_hg("stupid_bln_mode", 0)
+    geo, _p = _wide_geo(rc)
+    n = geo.fft1_size
+    newp = geo.fft1_new_points
+    rng = np.random.default_rng(31)
+    nsamp = newp * 96
+    t = np.arange(nsamp) / FS
+    iq = np.round(8000.0 * np.exp(2j * np.pi * 24000.0 * t)
+                  + 50.0 * (rng.standard_normal(nsamp)
+                            + 1j * rng.standard_normal(nsamp)))
+    ch = newp * 3                     # liminfo updates on feed cadence
+    for i in range(len(iq) // ch):
+        rc.feed_iq(iq[i * ch:(i + 1) * ch])
+        rc.run_wideband()
+    lim_ref = rc.array("liminfo", 2 * n)[:n].copy()
+
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    st = SellimState.create(geo)
+    spp = geo.fft1_frames_per_step * newp
+    for s in range(len(iq) // spp):
+        blk = iq[s * spp:(s + 1) * spp].astype(np.complex64)[:, None]
+        s1, _spec, _ = fft1_step(geo, t1, s1, jnp.asarray(blk),
+                                 avg1num=5)
+        avg_p = np.sum(np.asarray(s1.sumsq_avg), axis=-1)
+        st = update_liminfo(geo, st, jnp.asarray(avg_p), 8.0, ston=30.0)
+    lim_ours = np.roll(np.asarray(st.liminfo), n // 2)
+
+    b = (int(round(24000.0 / FS * n)) + n // 2) % n
+    assert lim_ref[b] != 0 and lim_ours[b] != 0
+    agree = np.mean((lim_ref != 0) == (lim_ours != 0))
+    assert agree > 0.9, agree
+
+
+def test_stupid_blanker_exact_vs_reference(jnp):
+    """Pinned-state stupid blanker: identical cleared-point sets and
+    float32-exact surviving samples vs blank1.c:1013-1083.
+
+    The noise floor and the absolute limit are pinned on both sides
+    (reference: stupid_bln_mode=2 fixed limit + ref_set_var noise
+    floor; ours: explicit kernel arguments), so the clear + widen
+    decisions must coincide exactly."""
+    rc = _wide_ref()
+    geo, _p = _wide_geo(rc)
+    newp = geo.fft1_new_points
+    rng = np.random.default_rng(9)
+    nsamp = newp * 64
+    iq = (200.0 * (rng.standard_normal(nsamp)
+                   + 1j * rng.standard_normal(nsamp)))
+    # isolated strong impulses away from the reference's per-transform
+    # blanker chunk edges (multiples of fft1_new_points)
+    pulse_pos = []
+    for k in range(4, nsamp // newp - 4, 3):
+        pos = k * newp + 300 + int(rng.integers(0, 300))
+        amp = 12000.0 * (1 + rng.random())   # keeps |I|,|Q| < 32767
+        ph = np.exp(2j * np.pi * rng.random())
+        iq[pos] += amp * ph
+        pulse_pos.append(pos)
+    iq = np.round(iq)
+    assert np.abs(iq.real).max() < 32767 and np.abs(iq.imag).max() < 32767
+
+    # pass A — blankers off: fit the scale s and the ref noise power
+    rc.feed_iq(iq)
+    rc.run_wideband()
+    pts = rc.geo("timf2_pa") // 4
+    ref_a = rc.timf2_stream(pts)[:, 0, 0]
+    ours_w, ours_pwr, _ = _run_ours_wideband(geo, iq, jnp)
+    m = min(len(ours_w), pts) - geo.fft1_size
+    s, maxrel = _fit_altconj(ours_w[:m], ref_a[:m], skip=3000)
+    assert maxrel < 1e-5
+    s2 = float(abs(s)) ** 2
+    ref_pwr_a = np.abs(ref_a[:m]) ** 2
+    nf_ref = float(np.median(ref_pwr_a[3000:])) * 1.4  # ~mean of |z|^2
+
+    # pass B — stupid blanker on, pinned state, fixed absolute limit
+    lim_ref = 30.0 * nf_ref
+    rc = RefChain(ad_speed=96000, second_fft=1, sinpow=2)
+    rc.set_liminfo_auto(False)
+    rc.set_hg("clever_bln_mode", 0)
+    rc.set_hg("stupid_bln_mode", 2)
+    rc.set_hg("stupid_bln_limit", lim_ref)
+    rc.set_var("timf2_noise_floor", nf_ref)
+    rc.set_var("blanker_info_update_interval", 1 << 30)
+    rc.set_var("min_delay_time", 1e-9)  # blanker runs every transform
+    pw = rc.geo("blanker_pulsewidth")
+    rc.feed_iq(iq)
+    rc.run_wideband()
+    fit_end = int(rc.get_var("timf2p_fit"))
+    ref_b = rc.timf2_stream(pts)[:, 0, 0]
+
+    nf_ours = nf_ref / s2
+    lim_amp = math.sqrt(lim_ref / nf_ref)
+    _wb, pwr_b, _ = _run_ours_wideband(geo, iq, jnp,
+                                       blanker=(nf_ours, lim_amp, pw))
+    mb = min(m, fit_end - 64)
+    ref_clear = np.abs(ref_b[:mb]) == 0.0
+    our_clear = pwr_b[:mb] == 0.0
+    # identical cleared sets (after the startup transient)
+    mismatch = np.flatnonzero(ref_clear[3000:] != our_clear[3000:])
+    assert mismatch.size == 0, mismatch[:20] + 3000
+    assert ref_clear.sum() > 20          # blanker actually fired
+    # surviving samples unchanged and still exact
+    s_b, maxrel_b = _fit_altconj(_wb[:mb], ref_b[:mb], skip=3000,
+                                 mask=~our_clear)
+    assert maxrel_b < 1e-5, (s_b, maxrel_b)
+
+
+def _ref_collect_baseb(rc, iq, chunk_frames=12):
+    """Feed in chunks, run wideband+narrowband, return baseb_raw."""
+    from refharness import load
+    lib = load()
+    lib.ref_read_baseb_raw.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_long]
+    newp = rc.geo("fft1_new_points")
+    ch = newp * chunk_frames
+    pos = 0
+    out = []
+    for k in range(len(iq) // ch):
+        rc.feed_iq(iq[k * ch:(k + 1) * ch])
+        rc.run_wideband()
+        rc.run_narrowband()
+        pa = rc.geo("baseb_pa")
+        nn = pa - pos
+        if nn:
+            buf = np.empty(2 * nn, np.float32)
+            lib.ref_read_baseb_raw(buf, pos, nn)
+            out.append(buf[0::2] + 1j * buf[1::2])
+            pos = pa
+    return np.concatenate(out).astype(np.complex64)
+
+
+def _tone_snr_db(z, fs, f_tone, guard_bins=6):
+    z = z - z.mean()
+    w = np.hanning(len(z))
+    spec = np.abs(np.fft.fft(z * w)) ** 2
+    f = np.fft.fftfreq(len(z), 1.0 / fs)
+    kk = int(np.argmin(np.abs(f - f_tone)))
+    idx = np.arange(kk - guard_bins, kk + guard_bins + 1) % len(z)
+    tone = spec[idx].sum()
+    return 10.0 * math.log10(tone / max(spec.sum() - tone, 1e-30))
+
+
+def test_wideband_audio_snr_parity_vs_reference(jnp):
+    """BASELINE configs 3/4 headline: the FULL second-FFT receive chain
+    (fft1 -> sellim -> back transform -> stupid blanker -> fft2 -> mix1
+    -> fft3 -> mix2) on pulse-laden noisy IQ with a weak carrier; the
+    demodulated-baseband tone SNR must match the reference within 1.5 dB
+    and the blanker must be the thing delivering it (SNR collapses by
+    >6 dB with the blankers off in both chains)."""
+    import dataclasses
+
+    import jax.numpy as jnp_
+    from linrad_tpu.params import Demod, RxParams
+    from linrad_tpu.pipeline.chain import (RxState, RxTables,
+                                           make_rx_step)
+    from linrad_tpu.ops.blanker import BlankerTables
+
+    rng = np.random.default_rng(17)
+    rc = RefChain(ad_speed=96000, second_fft=1, sinpow=2)
+    geo, params = _wide_geo(rc)
+    newp = geo.fft1_new_points
+    nsamp = newp * 480          # ~5 s: the reference's auto noise
+    t = np.arange(nsamp) / FS   # floor needs ~1 s to converge (buf.c:341)
+    f_true, df = 12000.0, 800.0
+    iq = (500.0 * np.exp(2j * np.pi * (f_true + df) * t)
+          + 150.0 * (rng.standard_normal(nsamp)
+                     + 1j * rng.standard_normal(nsamp)))
+    # strong impulsive interference: ~120 pulses/s
+    npulse = int(nsamp / FS * 120)
+    for pos in rng.integers(newp, nsamp - newp, npulse):
+        iq[pos] += (20000.0 + 8000.0 * rng.random()) * np.exp(
+            2j * np.pi * rng.random())
+    iq = np.round(np.clip(iq.real, -32767, 32767)
+                  + 1j * np.clip(iq.imag, -32767, 32767))
+
+    def run_ref(stupid_on, warm_floor=None):
+        rcx = RefChain(ad_speed=96000, second_fft=1, sinpow=2)
+        rcx.set_hg("clever_bln_mode", 0)   # forced off uncalibrated
+        rcx.set_hg("stupid_bln_mode", 1 if stupid_on else 0)
+        if warm_floor is not None:
+            # converged state: cold start is 200 (buf.c:418) and takes
+            # ~10 s of x11-per-update growth to reach int16-scale power
+            rcx.set_var("timf2_noise_floor", warm_floor)
+            rcx.set_hg("stupid_bln_limit", 5.0 * warm_floor)
+        rcx.tune(FS / 2 + f_true)
+        z = _ref_collect_baseb(rcx, iq)
+        fs_bb = rcx.geof("baseband_sampling_speed")
+        snr = _tone_snr_db(z[len(z) // 2:], fs_bb, -df)
+        pwr = rcx.array("timf2_pwr_float", rcx.geo("timf2pow_size")).copy()
+        return snr, pwr
+
+    def run_ours(stupid_on, warm_floor=None):
+        from linrad_tpu.ops.blanker import BlankerState
+        p = dataclasses.replace(
+            params, demod=Demod.NONE, agc_enable=False,
+            filter_low_hz=-1200.0, filter_high_hz=1200.0,
+            blanker_enable=stupid_on,
+            clever_bln_limit=1e6,          # stupid-only, like the ref
+            stupid_bln_limit=2.236,        # the ref default factor 5
+            sellim_maxlevel=12000.0,       # genparm default, A/D units
+            max_pulses_per_block=8)        # in power (hires_graph.c)
+        import jax
+        tables = RxTables.create(geo, p)
+        _, pw = BlankerTables.create(geo)
+        step = jax.jit(make_rx_step(geo, p, blanker_pulsewidth=pw))
+        state = RxState.create(geo)
+        if warm_floor is not None:
+            state = dataclasses.replace(
+                state, blanker=BlankerState(
+                    noise_floor=jnp_.float32(warm_floor)))
+        tune_bin = int(round(f_true * geo.fftx_size / FS))
+        spp = geo.samples_per_step
+        outs, pwrs = [], []
+        for s in range(len(iq) // spp):
+            blk = iq[s * spp:(s + 1) * spp].astype(np.complex64)[:, None]
+            state, out = step(tables, state, blk, jnp_.int32(tune_bin))
+            outs.append(np.asarray(out.baseb[:, 0]))
+            pwrs.append(float(out.noise_floor))
+        z = np.concatenate(outs)
+        snr = _tone_snr_db(z[len(z) // 2:], geo.baseband_sampling_speed,
+                           df)
+        return snr, float(pwrs[-1])   # converged tracked floor
+
+    def despiked(pwr):
+        m = np.median(pwr[pwr > 0]) * 1.4      # ~mean of |z|^2
+        return float(m)
+
+    snr_ref_off, pwr_ref = run_ref(False)
+    snr_ours_off, nf_ours = run_ours(False)
+    nf_ref = despiked(pwr_ref)
+    snr_ref_on, _ = run_ref(True, warm_floor=nf_ref)
+    snr_ours_on, _ = run_ours(True, warm_floor=nf_ours)
+    # the blanker is doing real work in both chains
+    assert snr_ref_on - snr_ref_off > 6.0, (snr_ref_on, snr_ref_off)
+    assert snr_ours_on - snr_ours_off > 6.0, (snr_ours_on, snr_ours_off)
+    # and the chains agree, blanked and unblanked
+    assert abs(snr_ours_on - snr_ref_on) < 1.5, (snr_ours_on, snr_ref_on)
+    assert abs(snr_ours_off - snr_ref_off) < 1.5, (snr_ours_off,
+                                                   snr_ref_off)
+    assert snr_ref_on > 10.0

@@ -90,7 +90,9 @@ class TestTimf2:
         """weak + strong == original signal when gains are unit
         (timf2.c:39-126: the split is a partition of the spectrum)."""
         geo = _geo()
-        tables = FFT1Tables.create(geo)
+        # identity response: the default band-edge taper
+        # (clear_fft1_filtercorr fft1.c:5196) breaks exact reconstruction
+        tables = FFT1Tables.create(geo, edge_taper=False)
         syn = make_timf2_syn(geo)
         rng = np.random.default_rng(0)
         n = geo.samples_per_step
