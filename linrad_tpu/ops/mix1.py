@@ -69,6 +69,7 @@ class Mix1Tables:
 class Mix1State:
     phase_idx: jax.Array   # () int32 — phase accumulator in units of 1/N turn
     ola_carry: jax.Array   # (mix1_interleave, C) complex64
+    frac_phase: jax.Array  # () float32 — fractional-tune phase, turns
 
     @classmethod
     def create(cls, geo: Geometry) -> "Mix1State":
@@ -76,18 +77,28 @@ class Mix1State:
             phase_idx=jnp.zeros((), jnp.int32),
             ola_carry=jnp.zeros((geo.mix1_interleave_points, geo.channels),
                                 jnp.complex64),
+            frac_phase=jnp.zeros((), jnp.float32),
         )
 
 
 def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
               spectra: jax.Array, center_bins: jax.Array,
-              variant: str | None = None
+              variant: str | None = None,
+              tune_frac: jax.Array | None = None
               ) -> tuple[Mix1State, jax.Array]:
     """Downconvert one step of fftx spectra to the timf3 baseband stream.
 
     spectra:     (n, N, C) complex64 fftx transforms at hop H samples
     center_bins: () or (n,) int32 tuned bin(s); a per-frame array is the
                  AFC path (mix1.c:648), a scalar the fixed path (:995).
+    tune_frac:   optional () or (n,) float32 fractional bin offset in
+                 (-0.5, 0.5] — the reference's per-sample phase ramp
+                 ``mix1_phase_rot = frac*2*pi/mix1.size`` (set_mix1_phases
+                 mix1.c:781-860) that places ANY dial frequency exactly
+                 at DC, not just bin centres.  Traced: retuning never
+                 recompiles.  The phase accumulator carries in turns
+                 (float32 wrap, same drift class as the reference's
+                 float accumulators).
 
     Returns (new_state, timf3) with timf3 (n * mix1_new_points, C)
     complex64 at timf3_sampling_speed, amplitude-true (the analysis
@@ -123,4 +134,19 @@ def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
 
     frames = y * tables.syn[None, :, None]
     timf3, carry = overlap_add(frames, geo.mix1_new_points, state.ola_carry)
-    return Mix1State(phase_idx=new_phase, ola_carry=carry), timf3
+    new_frac = state.frac_phase
+    if tune_frac is not None:
+        # residual-frequency ramp on the OUTPUT stream: frac big-FFT
+        # bins == frac/m turns per timf3 sample (the OLA'd overlapping
+        # contributions share each output sample's phase, as in the
+        # reference's per-point multiply, mix1.c:141-234)
+        hop_m = geo.mix1_new_points
+        fr = jnp.broadcast_to(jnp.asarray(tune_frac, jnp.float32), (n,))
+        per_samp = jnp.repeat(fr / m, hop_m, total_repeat_length=n * hop_m)
+        cum = state.frac_phase + jnp.cumsum(per_samp) - per_samp
+        theta = (-2.0 * jnp.pi) * jnp.mod(cum, 1.0)
+        ramp = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        timf3 = timf3 * ramp[:, None]
+        new_frac = jnp.mod(state.frac_phase + jnp.sum(fr) * hop_m / m, 1.0)
+    return Mix1State(phase_idx=new_phase, ola_carry=carry,
+                     frac_phase=new_frac), timf3

@@ -296,7 +296,8 @@ def _sharded_mix1(geo: Geometry, tables: RxTables, state_mix1: Mix1State,
                                  * jnp.uint32(n_fftx_local))) & mask
     local_state = Mix1State(
         phase_idx=shard_phase.astype(jnp.int32),
-        ola_carry=jnp.zeros_like(state_mix1.ola_carry))
+        ola_carry=jnp.zeros_like(state_mix1.ola_carry),
+        frac_phase=state_mix1.frac_phase)
     m1, timf3_local = mix1_step(geo, tables.mix1, local_state,
                                 fftx_spec, tune_bin)
     # OLA carry chain for timf3
@@ -305,7 +306,8 @@ def _sharded_mix1(geo: Geometry, tables: RxTables, state_mix1: Mix1State,
     head = jnp.where(idx == 0, state_mix1.ola_carry, incoming)
     timf3_local = timf3_local.at[:ov3].add(head)
     new_state = Mix1State(phase_idx=_pick_last(m1.phase_idx),
-                          ola_carry=_pick_last(m1.ola_carry))
+                          ola_carry=_pick_last(m1.ola_carry),
+                          frac_phase=m1.frac_phase)
     timf3 = jax.lax.all_gather(timf3_local, AXIS, axis=0, tiled=True)
     return new_state, timf3
 

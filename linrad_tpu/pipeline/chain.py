@@ -195,14 +195,15 @@ class NBState:
 
 def narrowband_tail(geo: Geometry, p: RxParams, tables: RxTables,
                     nb: NBState, fftx_spec: jax.Array,
-                    tune_bin: jax.Array):
+                    tune_bin: jax.Array,
+                    tune_frac: jax.Array | None = None):
     """mix1 -> fft3 -> mix2 -> demod -> AGC/expander/squelch for one
     tuned sub-receiver (the reference's narrowband_dsp + mix2 + fft3 +
     detector thread group, SURVEY.md §3.4).
 
     Returns (nb', audio, baseb, agc_gain)."""
     s_mix1, timf3 = mix1_step(geo, tables.mix1, nb.mix1, fftx_spec,
-                              tune_bin)
+                              tune_bin, tune_frac=tune_frac)
     return narrowband_post_mix1(geo, p, tables, nb, s_mix1, timf3)
 
 
@@ -354,23 +355,32 @@ def _make_wideband_front(geo: Geometry, p: RxParams,
     return front
 
 
-def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2):
+def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2,
+                 fractional_tune: bool = False):
     """Build the pure step function for this configuration.
 
     Returns ``step(tables, state, block, tune_bin) -> (state, outputs)``
     with block (samples_per_step, C) complex64 and tune_bin a traced
     int32 fftx bin index (retuning does not recompile).
-    """
+
+    With ``fractional_tune`` the step takes a fifth traced argument
+    ``tune_frac`` (float32 bin fraction, set_mix1_phases mix1.c:781) so
+    ANY dial frequency lands exactly at DC."""
     front = _make_wideband_front(geo, p, blanker_pulsewidth)
 
     def step(tables: RxTables, state: RxState, block: jax.Array,
-             tune_bin: jax.Array) -> tuple[RxState, RxOutputs]:
+             tune_bin: jax.Array,
+             tune_frac: jax.Array | None = None
+             ) -> tuple[RxState, RxOutputs]:
         # tune_bin may be scalar (fixed tuning) or (n_fftx,) per-frame
         # (the AFC path, do_mix1_afc mix1.c:648)
+        if not fractional_tune:
+            tune_frac = None
         tune0 = jnp.reshape(tune_bin, (-1,))[0]
         wide, fftx_spec, aux = front(tables, state, block, tune0)
         nb, audio, baseb, gain = narrowband_tail(
-            geo, p, tables, NBState.from_rx(state), fftx_spec, tune_bin)
+            geo, p, tables, NBState.from_rx(state), fftx_spec, tune_bin,
+            tune_frac=tune_frac)
         new_state = RxState(fft1=wide["fft1"], mix1=nb.mix1,
                             fft3=nb.fft3, mix2=nb.mix2, bfo=nb.bfo,
                             am=nb.am, fm=nb.fm, coh=nb.coh, agc=nb.agc,

@@ -24,6 +24,7 @@ def save_receiver(path: str, rx) -> None:
     meta = {
         "params": rx.params.to_json(),
         "tune_bin": np.asarray(rx._tune_bin).tolist(),
+        "tune_frac": float(np.asarray(rx._tune_frac)),
         "steps_done": rx._steps_done,
         "n_leaves": len(leaves),
     }
@@ -50,6 +51,7 @@ def load_receiver(path: str):
     rx.state = jax.tree_util.tree_unflatten(
         treedef, [jnp.asarray(x) for x in leaves])
     rx._tune_bin = jnp.asarray(np.asarray(meta["tune_bin"]))
+    rx._tune_frac = jnp.asarray(meta.get("tune_frac", 0.0), jnp.float32)
     rx._steps_done = meta["steps_done"]
     if rx.afc is not None and "afc" in meta:
         a = meta["afc"]

@@ -78,9 +78,11 @@ class Receiver:
             from ..ops.blanker import BlankerTables
             _, self.blanker_pulsewidth = BlankerTables.create(self.geo)
         step = make_rx_step(self.geo, params,
-                            blanker_pulsewidth=self.blanker_pulsewidth)
+                            blanker_pulsewidth=self.blanker_pulsewidth,
+                            fractional_tune=True)
         self._step = jax.jit(step)
         self._tune_bin = jnp.zeros((), jnp.int32)
+        self._tune_frac = jnp.zeros((), jnp.float32)
         self._step_seconds = (self.geo.samples_per_step
                               / self.geo.timf1_sampling_speed)
         # host-side weak-signal controllers (SURVEY.md §7: ~Hz control)
@@ -140,12 +142,15 @@ class Receiver:
                 + self.params.converter_offset_hz)
 
     def tune(self, freq_hz: float) -> None:
-        """Select the mix1 centre frequency (quantised to an fftx bin,
-        like the reference's frequency selection into mix1_selfreq)."""
+        """Select the mix1 centre frequency — continuous: the nearest
+        fftx bin plus a traced fractional-bin phase ramp place the dial
+        frequency exactly at DC (set_mix1_phases mix1.c:781-860)."""
         n = self.geo.fftx_size
         fs = self.geo.timf1_sampling_speed
-        bin_idx = int(round(freq_hz / fs * n)) % n
-        self._tune_bin = jnp.asarray(bin_idx, jnp.int32)
+        t1 = freq_hz / fs * n
+        bin_idx = int(round(t1))
+        self._tune_frac = jnp.asarray(t1 - bin_idx, jnp.float32)
+        self._tune_bin = jnp.asarray(bin_idx % n, jnp.int32)
         self.control.on_tune(freq_hz)
         self._fire("tune", freq_hz)
 
@@ -155,7 +160,8 @@ class Receiver:
         b = int(self._tune_bin)
         if b >= n // 2:
             b -= n
-        return b * self.geo.timf1_sampling_speed / n
+        return ((b + float(self._tune_frac))
+                * self.geo.timf1_sampling_speed / n)
 
     # ---- streaming ----------------------------------------------------
     def process_block(self, block) -> RxOutputs:
@@ -172,7 +178,7 @@ class Receiver:
             block = block[:, None]
         assert block.shape == (expect, self.geo.channels), block.shape
         self.state, out = self._step(self.tables, self.state, block,
-                                     self._tune_bin)
+                                     self._tune_bin, self._tune_frac)
         if self._resampler is not None:
             self._resampler_state, resampled = self._resampler(
                 self._resampler_state, out.audio)

@@ -95,10 +95,9 @@ class TestAudioResample:
         a = audio[len(audio) // 2:]
         spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
         freqs = np.fft.rfftfreq(len(a), 1 / (2 * fs_bb))
-        tuned = (int(np.asarray(rx._tune_bin))
-                 * g.timf1_sampling_speed / g.fftx_size)
-        expect = abs(10_200.0 - tuned) + p.bfo_hz \
-            if (10_200.0 - tuned) >= 0 else None
+        # fractional-bin tuning is exact: the LO sits at 10 kHz
+        tuned = rx.tuned_hz
+        assert tuned == pytest.approx(10_000.0, abs=1e-3)
         peak = freqs[np.argmax(spec)]
         assert peak == pytest.approx((10_200.0 - tuned) + p.bfo_hz,
                                      abs=5.0)

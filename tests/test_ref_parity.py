@@ -296,3 +296,58 @@ def test_audio_snr_parity_vs_reference(ref_ssb, jnp):
     assert abs(snr_ours - snr_ref) < 1.0, (snr_ours, snr_ref)
     # and the chain is actually receiving (tone well above the noise)
     assert snr_ref > 10.0
+
+
+def test_mix1_fractional_tune_exact_vs_reference(ref_ssb, jnp):
+    """Off-bin tuning: the per-sample phase ramp (set_mix1_phases
+    mix1.c:781-860) places a dial frequency BETWEEN fft1 bins exactly at
+    DC; timf3 stays sample-exact vs the reference (VERDICT r2 item 4 —
+    the earlier tests dodged this by tuning to exact bins)."""
+    from refharness import load
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.mix1 import Mix1State, Mix1Tables, mix1_step
+
+    rc = ref_ssb
+    geo, _p = _our_geo(rc)
+    n = geo.fft1_size
+    newp = geo.fft1_new_points
+    rng = np.random.default_rng(43)
+    nsamp = newp * 96
+    iq = np.round(4000 * (rng.standard_normal(nsamp)
+                          + 1j * rng.standard_normal(nsamp)))
+
+    f_true = 12013.7                   # 0.29 bins off bin 256
+    rc.tune(FS / 2 + f_true)
+    rc.feed_iq(iq)
+    rc.run_wideband()
+    lib = load()
+    while lib.ref_step_mix1() == 1:
+        pass
+    pa = rc.geo("timf3_pa")
+    w = rc.array("timf3_float", pa).copy()
+    ref = (w[0::2] + 1j * w[1::2]).astype(np.complex64)
+
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    tm, sm = Mix1Tables.create(geo), Mix1State.create(geo)
+    # emulate the reference's float32 frequency arithmetic exactly
+    # (fq * fftx_points_per_hz with points_per_hz = 1/(fs/N) in float32,
+    # buf.c:604/811, set_mix1_phases mix1.c:798-800) so the fractional
+    # parts are bit-identical
+    pph = np.float32(1.0) / (np.float32(FS) / np.float32(n))
+    t_bins = np.float32(np.float32(FS / 2 + f_true) * pph)         - np.float32(FS / 2) * pph
+    tune_bin = int(np.float32(f_true * n / FS) + 0.5)
+    frac = jnp.float32(float(t_bins) - round(float(t_bins)))
+    spp = geo.fft1_frames_per_step * newp
+    ours = []
+    for s in range(len(iq) // spp):
+        blk = iq[s * spp:(s + 1) * spp].astype(np.complex64)[:, None]
+        s1, spec, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
+        sm, timf3 = mix1_step(geo, tm, sm, spec, tune_bin,
+                              tune_frac=frac)
+        ours.append(np.asarray(timf3[:, 0]))
+    ours = np.concatenate(ours)
+
+    m = min(len(ours), len(ref))
+    maxrel, rmsrel = _fit_conj(ours[:m], ref[:m], lag=0,
+                               skip=4 * geo.mix1_new_points)
+    assert maxrel < 2e-4, (maxrel, rmsrel)
