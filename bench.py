@@ -358,14 +358,14 @@ def bench_scaling(k_steps: int = 8, dispatches: int = 6,
         state = fl.state
         for _ in range(2):
             state, outs = fl._run_k(fl.tables, state, blocks,
-                                    fl._tune_bins)
+                                    fl._tune_bins, fl._tune_fracs)
         jax.block_until_ready(outs)
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(dispatches):
                 state, outs = fl._run_k(fl.tables, state, blocks,
-                                        fl._tune_bins)
+                                        fl._tune_bins, fl._tune_fracs)
             jax.block_until_ready(outs)
             dt = time.perf_counter() - t0
             best = max(best, dispatches * k_steps * n * d / dt / 1e6)

@@ -58,20 +58,22 @@ class FleetRunner:
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables
             _, pw = BlankerTables.create(self.geo)
-        step = make_rx_step(self.geo, params, blanker_pulsewidth=pw)
-        vstep = jax.vmap(step, in_axes=(None, 0, 0, 0))
+        step = make_rx_step(self.geo, params, blanker_pulsewidth=pw,
+                            fractional_tune=True)
+        vstep = jax.vmap(step, in_axes=(None, 0, 0, 0, 0))
         fields = self.outputs
 
-        def run_k(tables, state, blocks, tune_bins):
+        def run_k(tables, state, blocks, tune_bins, tune_fracs):
             # blocks: (K, R, S, C); state/tune_bins batched over R
             def body(s, blk):
-                s, out = vstep(tables, s, blk, tune_bins)
+                s, out = vstep(tables, s, blk, tune_bins, tune_fracs)
                 return s, tuple(getattr(out, f) for f in fields)
 
             return jax.lax.scan(body, state, blocks)
 
         self._run_k = jax.jit(run_k, donate_argnums=(1,))
         self._tune_bins = jnp.zeros((n_streams,), jnp.int32)
+        self._tune_fracs = jnp.zeros((n_streams,), jnp.float32)
         self._stream_sharding = NamedSharding(self.mesh,
                                               P(None, AXIS, None, None))
         state_sharding = jax.tree_util.tree_map(
@@ -80,12 +82,15 @@ class FleetRunner:
         self.state = jax.device_put(self.state, state_sharding)
 
     def tune(self, freqs_hz) -> None:
-        """Per-stream tune frequencies (scalar broadcasts)."""
+        """Per-stream tune frequencies (scalar broadcasts); continuous
+        like Receiver.tune (fractional-bin mixer ramp)."""
         f = np.broadcast_to(np.asarray(freqs_hz, np.float64), (self.n,))
         n = self.geo.fftx_size
         fs = self.geo.timf1_sampling_speed
-        self._tune_bins = jnp.asarray(
-            np.round(f / fs * n).astype(np.int64) % n, jnp.int32)
+        t1 = f / fs * n
+        bins = np.round(t1).astype(np.int64)
+        self._tune_fracs = jnp.asarray(t1 - bins, jnp.float32)
+        self._tune_bins = jnp.asarray(bins % n, jnp.int32)
 
     @property
     def samples_per_call(self) -> int:
@@ -109,7 +114,8 @@ class FleetRunner:
                 seg.reshape(self.n, self.k, s, self.geo.channels), 0, 1)
             blocks = jax.device_put(blocks, self._stream_sharding)
             self.state, outs = self._run_k(self.tables, self.state,
-                                           blocks, self._tune_bins)
+                                           blocks, self._tune_bins,
+                                           self._tune_fracs)
             for f, v in zip(self.outputs, outs):
                 a = np.asarray(v)             # (K, R, S_f, C)
                 collected[f].append(

@@ -87,6 +87,10 @@ class RxParams:
     mix2_reduction_n: int = 0          # output decimation: mix2.size = fft3_size >> this
     demod: Demod = Demod.SSB
     bfo_hz: float = 800.0              # BFO offset for SSB/CW product detection
+    coherent_mode: int = 2             # bg_coherent (mix2.c:1774-1900):
+                                       # 1 = signal one ear / carrier
+                                       # other ear, 2 = carrier-phase
+                                       # I/Q demod (Demod.COHERENT only)
     agc_attack_ms: float = 2.0         # AGC attack time constant (baseb_graph.c:435-437)
     agc_release_ms: float = 250.0
     agc_hang_ms: float = 0.0

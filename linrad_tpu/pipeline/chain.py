@@ -100,10 +100,12 @@ class RxState:
 
     @classmethod
     def create(cls, geo: Geometry, spur: bool = False,
-               pol: bool = False, fir_len: int = 0) -> "RxState":
+               pol: bool = False, fir_len: int = 0,
+               audio_channels: int | None = None) -> "RxState":
         # adaptive polarization combines the 2 channels into 1 before
-        # the detectors, so the demod/AGC state is single-channel then
-        c = 1 if pol else geo.channels
+        # the detectors, so the demod/AGC state is single-channel then;
+        # coherent mode 1 doubles it (signal ear + carrier ear)
+        c = audio_channels or (1 if pol else geo.channels)
         wide = geo.second_fft_enable
         return cls(
             spur=SpurState.create(geo) if spur else None,
@@ -164,8 +166,9 @@ class NBState:
 
     @classmethod
     def create(cls, geo: Geometry, pol: bool = False,
-               fir_len: int = 0) -> "NBState":
-        c = 1 if pol else geo.channels
+               fir_len: int = 0,
+               audio_channels: int | None = None) -> "NBState":
+        c = audio_channels or (1 if pol else geo.channels)
         return cls(
             mix1=Mix1State.create(geo), fft3=FFT3State.create(geo),
             mix2=Mix2State.create(geo), bfo=demod_ops.BFOState.create(),
@@ -256,10 +259,20 @@ def narrowband_post_mix1(geo: Geometry, p: RxParams, tables: RxTables,
                 audio, fs_bb, p.fm_deemphasis_us, s_fm.deemph)
             s_fm = demod_ops.FMState(last=s_fm.last, deemph=de_last)
     elif p.demod == Demod.COHERENT:
-        s_coh, audio_i, _audio_q = demod_ops.coherent_detect(
-            nb.coh, baseb, carrier, fs_bb)
-        s_bfo, audio = demod_ops.bfo_ssb(
-            nb.bfo, audio_i.astype(jnp.complex64), p.bfo_hz, fs_bb)
+        if p.coherent_mode == 1:
+            # signal to one ear, amplitude-weighted carrier to the
+            # other (bg_coherent==1, mix2.c:1843-1876): the carrier
+            # branch is the narrow bg_carrfilter baseband; both ears
+            # get the BFO product
+            both = jnp.concatenate([baseb, carrier], axis=1)
+            s_bfo, audio = demod_ops.bfo_ssb(nb.bfo, both, p.bfo_hz,
+                                             fs_bb)
+            s_coh = nb.coh
+        else:
+            s_coh, audio_i, _audio_q = demod_ops.coherent_detect(
+                nb.coh, baseb, carrier, fs_bb)
+            s_bfo, audio = demod_ops.bfo_ssb(
+                nb.bfo, audio_i.astype(jnp.complex64), p.bfo_hz, fs_bb)
     else:  # Demod.NONE — raw complex baseband as "audio" I channel
         audio = jnp.real(baseb)
     if p.agc_enable:

@@ -68,11 +68,17 @@ class Receiver:
         self.params = params
         self.geo: Geometry = derive_geometry(params)
         self.tables = RxTables.create(self.geo, params, calibration)
+        from ..params import Demod
+        ac = None
+        if params.demod == Demod.COHERENT and params.coherent_mode == 1:
+            # signal ear + carrier ear (bg_coherent 1, mix2.c:1843)
+            ac = 2 * (1 if params.pol_adapt_enable else self.geo.channels)
         self.state = RxState.create(
             self.geo, spur=params.spur_enable,
             pol=params.pol_adapt_enable,
             fir_len=(int(self.tables.mix2.fir.shape[0])
-                     if self.tables.mix2.fir is not None else 0))
+                     if self.tables.mix2.fir is not None else 0),
+            audio_channels=ac)
         self.blanker_pulsewidth = 2
         if self.geo.second_fft_enable:
             from ..ops.blanker import BlankerTables
