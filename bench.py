@@ -460,6 +460,27 @@ def main():
                   ">=2 devices (run on a pod slice)"}
     except Exception:
         scaling = {"devices": 1, "note": "scaling measurement failed"}
+    # bounded-latency mode (z_TIMING.txt 0.150 s budget): measured on
+    # the small-step latency config; falls back to the algorithmic
+    # fields if the fresh compile hits the environmental failure
+    from linrad_tpu.pipeline.latency import (latency_params,
+                                             measure_latency,
+                                             pipeline_delay_samples)
+    from linrad_tpu import derive_geometry as _dg
+    try:
+        latency = _with_timeout(
+            measure_latency, 300,
+            params=latency_params(second_fft=True), steps=60)
+    except Exception:
+        lp = latency_params(second_fft=True)
+        g = _dg(lp)
+        fs = g.timf1_sampling_speed
+        latency = {
+            "block_ms": round(1e3 * g.samples_per_step / fs, 2),
+            "pipeline_ms": round(
+                1e3 * pipeline_delay_samples(g) / fs, 2),
+            "budget_ms": 150.0,
+            "note": "processing time not measured (compile failed)"}
     vs_xl = round(tpu_msps / xl, 2) if xl else None
     print(json.dumps({
         "metric": "complex Msamples/s/chip through fft1->blanker->fft2->demod",
@@ -474,6 +495,7 @@ def main():
         "achieved_tflops": roof["achieved_tflops"],
         "config": {"fn": win_fn, **(win_cfg or {})},
         "scaling": scaling,
+        "latency": latency,
     }))
 
 

@@ -485,3 +485,51 @@ class TestCoherentModesWithAFC:
         a = audio[3 * len(audio) // 4:, 0]
         assert self._tone_at(a, g.baseband_sampling_speed, 600.0,
                              3 * g.fftx_bandwidth)
+
+
+class TestWeakSignalQualification:
+    """BASELINE config 5 qualification (VERDICT r2 item 8): the decode
+    threshold of the FULL chain (fft1 -> mix1 -> fft3 -> mix2 + AFC +
+    Morse decode) on a drifting keyed carrier, SNR referred to a
+    2500 Hz bandwidth (the weak-signal convention).
+
+    The full sweep (docs/WEAK_SIGNAL.md) measures error-free decode
+    down to -4 dB; this regression test pins -2 dB (one notch of
+    margin) exactly and +0 dB across a second seed."""
+
+    MSG = "CQ DX DE SM5BSZ"
+
+    def _run_chain_decode(self, snr_db, seed):
+        from linrad_tpu.params import Demod
+        from linrad_tpu.weak.cw import decode_morse_ml, keyed_cw
+
+        fs = 96000.0
+        fc = 10_000.0
+        p = RxParams(first_fft_bandwidth=30.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     afc_enable=True, demod=Demod.COHERENT,
+                     bfo_hz=600.0, filter_low_hz=-100.0,
+                     filter_high_hz=100.0)
+        rx = Receiver(p)
+        g = rx.geo
+        key = keyed_cw(self.MSG, fs, 20.0, 0.0)
+        n = (len(key) // g.samples_per_step + 2) * g.samples_per_step
+        sig = np.zeros(n, np.complex64)
+        sig[:len(key)] = key
+        t = np.arange(n) / fs
+        clean = sig * np.exp(2j * np.pi * (fc * t + 0.25 * t ** 2))
+        sigma = np.sqrt(1.0 / (2 * (2500 / fs) * 10 ** (snr_db / 10)))
+        rng = np.random.default_rng(seed)
+        iq = (clean + sigma * (rng.normal(size=n)
+                               + 1j * rng.normal(size=n))
+              ).astype(np.complex64)
+        rx.tune(fc)
+        bb = np.concatenate(
+            [np.asarray(o.baseb) for o in rx.run(iq)])[:, 0]
+        return decode_morse_ml(bb, g.baseband_sampling_speed).text
+
+    def test_decodes_at_minus_2db_in_2500hz(self):
+        assert self._run_chain_decode(-2.0, 1000) == self.MSG
+
+    def test_decodes_at_0db_second_seed(self):
+        assert self._run_chain_decode(0.0, 1001) == self.MSG
