@@ -37,8 +37,12 @@ from ..geometry import Geometry
 from ..utils.pytree import pytree_dataclass
 from ..utils.segments import segment_max
 
-MAX_REFPULSES = 64   # reference uses 256 (blnkdef.h:13); 64 fractional
-                     # steps keep sub-sample error < 1% of a sample
+MAX_REFPULSES = 256  # fractional-shift bank depth (blnkdef.h:13); the
+                     # worst-case residual after subtracting a pulse at
+                     # the least-favourable inter-entry offset is
+                     # measured in tests/test_wideband.py
+                     # (test_refpulse_bank_subsample_error): -45.6 dB
+                     # at 256 entries (~-34 dB at the old 64)
 
 
 def make_refpulse_bank(freq_response: np.ndarray, pul_size: int,

@@ -39,8 +39,26 @@ from ..utils.segments import segment_max, segment_min, segment_sum
 
 RELEASE_FACTOR = 1.15   # sellim.c:35
 SFAC = 2.0              # sellim.c:36
-SKIRT_STEPS = 8         # bound on the 0.3-ratio skirt walk
-TAPER_STEPS = 6         # bound on the t^0.9 edge taper
+TAPER_STEPS = 64        # edge-taper reach (reference budget is
+                        # width/4+1 bins per side, sellim.c:823-855 —
+                        # 64 covers strong signals up to ~250 bins wide)
+
+
+def _chain_reach(strong: jax.Array, q: jax.Array,
+                 reverse: bool) -> jax.Array:
+    """Unbounded conditional reach: r[i] = strong[i] | (q[i] & r[prev])
+    along the scan direction — the reference's skirt walk
+    (``while(p[ia-1]/p[ia] < 0.3) ia--``, sellim.c:801-802) as one
+    associative scan over the boolean semiring instead of a sequential
+    (or bounded-dilation) pass.  Exact for any skirt width."""
+    def comb(a, b):
+        qa, sa = a
+        qb, sb = b
+        return qa & qb, sb | (qb & sa)
+
+    _, reach = jax.lax.associative_scan(comb, (q, strong),
+                                        reverse=reverse)
+    return reach
 
 
 @pytree_dataclass
@@ -93,16 +111,14 @@ def update_liminfo(geo: Geometry, state: SellimState, avg_power: jax.Array,
     old_wait = jnp.roll(state.liminfo_wait, half)
     limit = jnp.float32(sellim_limit(geo, maxlevel))
 
-    # 1. threshold + 2. bounded skirt extension
+    # 1. threshold + 2. skirt extension (exact unbounded walk via scan)
     strong = p > limit
-    for _ in range(SKIRT_STEPS):
-        right_member = jnp.concatenate([strong[1:], strong[-1:]])
-        left_member = jnp.concatenate([strong[:1], strong[:-1]])
-        p_right = jnp.concatenate([p[1:], p[-1:]])
-        p_left = jnp.concatenate([p[:1], p[:-1]])
-        grow = ((right_member & (p / p_right < 0.3))
-                | (left_member & (p / p_left < 0.3)))
-        strong = strong | grow
+    p_left = jnp.concatenate([p[:1], p[:-1]])
+    p_right = jnp.concatenate([p[1:], p[-1:]])
+    q_dn = p < 0.3 * p_left     # joins when its left neighbour is in
+    q_up = p < 0.3 * p_right    # joins when its right neighbour is in
+    strong = (_chain_reach(strong, q_dn, reverse=False)
+              | _chain_reach(strong, q_up, reverse=True))
 
     # 3. common region gain with temporal smoothing
     maxval = segment_max(p, strong)
@@ -116,8 +132,10 @@ def update_liminfo(geo: Geometry, state: SellimState, avg_power: jax.Array,
 
     # 4. edge taper t^0.9 over (width/4)+1 extra bins
     width = segment_sum(jnp.ones_like(p), strong)
-    budget = jnp.where(strong, width / 4.0 + 1.0, 0.0)
-    for _ in range(TAPER_STEPS):
+    budget0 = jnp.where(strong, width / 4.0 + 1.0, 0.0)
+
+    def taper_body(_i, carry):
+        lim, budget = carry
         lft = jnp.concatenate([lim[:1], lim[:-1]])
         rgt = jnp.concatenate([lim[1:], lim[-1:]])
         bl = jnp.concatenate([budget[:1], budget[:-1]])
@@ -127,6 +145,10 @@ def update_liminfo(geo: Geometry, state: SellimState, avg_power: jax.Array,
         new = (lim == 0.0) & (cand > 0.0)
         lim = jnp.where(new, cand ** 0.9, lim)
         budget = jnp.where(new, jnp.maximum(bl - 1.0, br - 1.0), budget)
+        return lim, budget
+
+    lim, _ = jax.lax.fori_loop(0, TAPER_STEPS, taper_body,
+                               (lim, budget0))
 
     # 5. noise floor: groups -> mean of 3 smallest (sellim.c:891-917)
     gp = p.reshape(groups, n // groups)

@@ -509,3 +509,78 @@ def test_wideband_audio_snr_parity_vs_reference(jnp):
     assert abs(snr_ours_off - snr_ref_off) < 1.5, (snr_ours_off,
                                                    snr_ref_off)
     assert snr_ref_on > 10.0
+
+
+def test_liminfo_wide_skirt_vs_reference(jnp):
+    """VERDICT r2 item 10: a strong signal far wider than any bounded
+    walk (40-bin modulation) vs the compiled reference's unbounded
+    skirt walk.  Our skirt extension is an exact associative-scan reach
+    (ops/sellim._chain_reach), so the only legitimate differences are
+    borderline bins (power within ~30% of the limit classify on float
+    noise) and their taper shadows."""
+    import math as _m
+
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.sellim import (SellimState, sellim_limit,
+                                       update_liminfo)
+
+    rc = _wide_ref()
+    geo, _p = _wide_geo(rc)
+    n = geo.fft1_size
+    newp = geo.fft1_new_points
+    k = 16
+    rc.set_wg("fft_avg1num", 1000)
+    rc.set_wg("spek_avgnum", 1e9)
+    m_ref = 10000.0
+    rc.set_genparm(10, int(m_ref))
+    rng = np.random.default_rng(77)
+    t = np.arange(k * newp) / FS
+    bw = 40 * FS / n
+    mod = np.convolve(
+        rng.standard_normal(len(t)) + 1j * rng.standard_normal(len(t)),
+        np.ones(int(FS / bw)) / int(FS / bw), mode="same")
+    sig = 8000.0 * mod * np.exp(2j * np.pi * 18000.0 * t)
+    iq = np.round(sig + 20.0 * (rng.standard_normal(len(t))
+                                + 1j * rng.standard_normal(len(t))))
+    iq = (np.clip(iq.real, -32767, 32767)
+          + 1j * np.clip(iq.imag, -32767, 32767))
+    rc.feed_iq(iq)
+    assert rc.run_wideband() == k
+    rc.update_liminfo()
+    lim_ref = rc.array("liminfo", 2 * n)[:n].copy()
+
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    _, spec, _ = fft1_step(geo, t1, s1,
+                           jnp.asarray(iq.astype(np.complex64)[:, None]),
+                           avg1num=8)
+    avg_p = np.mean(np.abs(np.asarray(spec)[:, :, 0]) ** 2, axis=0)
+    fcs, c_win = 0.137449, 1.6319311
+    l_ref = m_ref ** 2 * 1000.0 * n / geo.fft2_size
+    l_ours = l_ref / (k * (fcs * c_win) ** 2)
+    m_ours = _m.sqrt(l_ours / sellim_limit(geo, 1.0))
+    st = update_liminfo(geo, SellimState.create(geo),
+                        jnp.asarray(avg_p, jnp.float32), m_ours,
+                        ston=1e12)
+    lim_ours = np.roll(np.asarray(st.liminfo), n // 2)
+
+    sr, so = lim_ref != 0, lim_ours != 0
+    # the wide region IS wide in both (far beyond an 8-step walk)
+    assert sr.sum() > 45 and so.sum() > 45, (sr.sum(), so.sum())
+    assert np.mean(sr == so) > 0.99
+    # mismatches only at borderline power or in a borderline bin's
+    # taper shadow (within the width/4+1 taper reach of one)
+    p_band = np.roll(avg_p, n // 2) * (k * (fcs * c_win) ** 2)
+    borderline = np.abs(p_band / l_ref - 1.0) < 0.35
+    reach = 16
+    shadow = np.convolve(borderline.astype(float),
+                         np.ones(2 * reach + 1), mode="same") > 0
+    for i in np.flatnonzero(sr != so):
+        assert shadow[i], i
+    # where both scale, the dominant region's gain agrees exactly
+    # (same region max); fragmentation at borderline bins may give a
+    # few bins their own gain, so assert on the bulk
+    both = (lim_ref > 0) & (lim_ours > 0)
+    assert both.sum() > 30
+    ratio = lim_ours[both] / lim_ref[both]
+    assert np.median(np.abs(ratio - 1.0)) < 0.01
+    assert np.mean(np.abs(ratio - 1.0) < 0.02) > 0.7, ratio
