@@ -90,6 +90,7 @@ def load():
     lib.ref_get_var.argtypes = [ctypes.c_char_p]
     lib.ref_update_liminfo.restype = ctypes.c_int
     lib.ref_set_liminfo_auto.argtypes = [ctypes.c_int]
+    lib.ref_set_pretend_calamp.argtypes = [ctypes.c_int]
     _lib = lib
     return lib
 

@@ -225,6 +225,12 @@ int refapi_setup_done = 0;
 static int local_fft1_liminfo_cnt = 0;
 static int local_fft2_liminfo_cnt = 0;
 static int liminfo_auto = 1;
+/* pretend amplitude calibration is present, so init_blanker builds the
+ * reference-pulse bank from the default fft1_desired and the clever
+ * blanker stays enabled (init_hires_graph forces it off uncalibrated);
+ * set BEFORE ref_setup. */
+static int pretend_calamp = 0;
+void ref_set_pretend_calamp(int on) { pretend_calamp = on; }
 
 void ref_teardown(void)
 {
@@ -308,6 +314,7 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
     return refapi_errcode ? -refapi_errcode : lir_status;
   refapi_setup_done = 1;
   check_filtercorr_direction();
+  if (pretend_calamp) fft1_calibrate_flag |= CALAMP;
   if(getenv("REF_TRACE"))fprintf(stderr,"[ref] wide_graph\n");
   init_wide_graph();
   if (kill_all_flag || lir_status != LIR_OK)

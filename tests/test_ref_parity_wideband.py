@@ -584,3 +584,97 @@ def test_liminfo_wide_skirt_vs_reference(jnp):
     ratio = lim_ours[both] / lim_ref[both]
     assert np.median(np.abs(ratio - 1.0)) < 0.01
     assert np.mean(np.abs(ratio - 1.0) < 0.02) > 0.7, ratio
+
+
+def test_clever_blanker_single_pulse_vs_reference(jnp):
+    """Single-pulse crosscheck of the fit-and-subtract blanker vs the
+    compiled subtract_onechan_pulse (blank1.c:36-232; VERDICT r2 weak
+    item 4).  The reference needs amplitude calibration for its
+    reference-pulse bank, so the harness pretends CALAMP with the
+    default desired response — the same flat+edge-taper response our
+    bank is built from.  Both must fit exactly one pulse, suppress its
+    window by >18 dB, agree within 6 dB, and leave everything outside
+    the subtraction window float-exact."""
+    import math as _m
+
+    from refharness import load
+    from linrad_tpu.ops import blanker as blanker_ops
+    from linrad_tpu.ops.blanker import BlankerTables
+
+    lib = load()
+    lib.ref_set_pretend_calamp(1)
+    try:
+        rc = RefChain(ad_speed=96000, second_fft=1, sinpow=2)
+        rc.set_liminfo_auto(False)
+        assert rc.geo("refpul_size") == 256   # bank actually built
+        geo, _p = _wide_geo(rc)
+        newp = geo.fft1_new_points
+        n = newp * 48
+        rng = np.random.default_rng(5)
+        iq = 100.0 * (rng.standard_normal(n)
+                      + 1j * rng.standard_normal(n))
+        iq[20 * newp + 517] += 20000.0 * np.exp(0.7j)
+        iq = np.round(iq)
+
+        # pass A: blankers off (shared unblanked stream + noise floor)
+        rc.set_hg("clever_bln_mode", 0)
+        rc.set_hg("stupid_bln_mode", 0)
+        rc.feed_iq(iq)
+        rc.run_wideband()
+        pts = rc.geo("timf2_pa") // 4
+        ref_off = rc.timf2_stream(pts)[:, 0, 0].copy()
+        nf_ref = float(np.median(np.abs(ref_off[5000:]) ** 2)) * 1.4
+        lim_ref = 30.0 * nf_ref
+
+        # pass B: reference clever blanker, pinned state
+        rc2 = RefChain(ad_speed=96000, second_fft=1, sinpow=2)
+        rc2.set_liminfo_auto(False)
+        rc2.set_hg("stupid_bln_mode", 0)
+        rc2.set_hg("clever_bln_mode", 2)
+        rc2.set_hg("clever_bln_limit", lim_ref)
+        rc2.set_var("timf2_noise_floor", nf_ref)
+        rc2.set_var("blanker_info_update_interval", 1 << 30)
+        rc2.set_var("min_delay_time", 1e-9)
+        rc2.feed_iq(iq)
+        rc2.run_wideband()
+        ref_on = rc2.timf2_stream(pts)[:, 0, 0].copy()
+        assert rc2.geo("timf2_fitted_pulses") == 1
+
+        # ours: same chain all-weak, then the clever blanker with the
+        # matched threshold; our timf2 is float-exact vs ref_off, so
+        # both blankers see the same pulse
+        ours_w, ours_pwr, _ = _run_ours_wideband(geo, iq, jnp)
+        m = min(len(ours_w), pts) - geo.fft1_size
+        s, maxrel = _fit_altconj(ours_w[:m], ref_off[:m], skip=3000)
+        assert maxrel < 1e-5
+        s2 = float(abs(s)) ** 2
+        nf_ours = nf_ref / s2
+        lim_amp = _m.sqrt(lim_ref / nf_ref)
+        tables, pw = BlankerTables.create(geo)
+        w2, p2, nfit = blanker_ops.clever_blanker(
+            jnp.asarray(ours_w[:m][:, None]),
+            jnp.asarray(ours_pwr[:m]), tables,
+            jnp.float32(nf_ours), lim_amp, pw, max_pulses=8,
+            block_size=0)
+        assert int(nfit) == 1
+        w2 = np.asarray(w2)[:, 0]
+
+        ppos = int(np.argmax(np.abs(ref_off[:m])))
+        sl = slice(ppos - 40, ppos + 40)
+        e_off = float((np.abs(ref_off[sl]) ** 2).sum())
+        supp_ref = 10 * _m.log10(
+            e_off / float((np.abs(ref_on[sl]) ** 2).sum()))
+        supp_ours = 10 * _m.log10(
+            e_off / (float((np.abs(w2[sl]) ** 2).sum()) * s2))
+        assert supp_ref > 18.0 and supp_ours > 18.0, (supp_ref,
+                                                      supp_ours)
+        assert abs(supp_ref - supp_ours) < 6.0, (supp_ref, supp_ours)
+
+        # outside both subtraction windows the streams stay exact
+        mask = np.ones(m, bool)
+        mask[max(ppos - 300, 0): ppos + 300] = False
+        mask[:3000] = False
+        s_b, maxrel_b = _fit_altconj(w2, ref_on[:m], skip=0, mask=mask)
+        assert maxrel_b < 1e-5, (s_b, maxrel_b)
+    finally:
+        lib.ref_set_pretend_calamp(0)
