@@ -24,6 +24,9 @@ dsp_<mode>_iqcorr files (z_CALIBRATE.txt:24-55) as .npz.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 
 from .geometry import Geometry
@@ -34,7 +37,8 @@ from .geometry import Geometry
 # ---------------------------------------------------------------------------
 
 def measure_response(pulse_iq: np.ndarray, geo: Geometry,
-                     threshold_rel: float = 0.3) -> np.ndarray:
+                     threshold_rel: float = 0.3,
+                     return_count: bool = False):
     """Estimate the system frequency response from a pulse-train
     recording (the cal_iqdata accumulation of calibrate.c).
 
@@ -57,16 +61,21 @@ def measure_response(pulse_iq: np.ndarray, geo: Geometry,
         if env[i] > thr and env[i] == env[i - size // 4: i + size // 4].max():
             seg = x[i - size // 2: i + size // 2]
             spec = np.fft.fft(np.fft.ifftshift(seg, axes=0), axis=0)
-            # normalise the phase so pulses average coherently
-            ref = spec[1].copy()
-            ref /= np.maximum(np.abs(ref), 1e-30)
-            resp += spec * np.conj(ref)[None, :]
+            # normalise the phase so pulses average coherently — by the
+            # FIRST channel's reference phasor for every channel, so the
+            # inter-channel phase (what dual-polarization calibration
+            # measures, calsub2.c:331-397) survives the average
+            ref = spec[1, 0]
+            ref /= max(abs(ref), 1e-30)
+            resp += spec * np.conj(ref)
             count += 1
             i += size
         else:
             i += 1
     if count == 0:
         raise ValueError("no calibration pulses found")
+    if return_count:
+        return resp / count, count
     return resp / count
 
 
@@ -86,6 +95,122 @@ def make_filtercorr(response: np.ndarray, desired: np.ndarray | None = None,
     corr = desired[:, None] * ref / np.where(mag < floor, np.inf, h)
     corr[~np.isfinite(corr)] = 0.0
     return corr.astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# iterative interval calibration (calibrate.c accumulation loop + calsub2.c)
+# ---------------------------------------------------------------------------
+
+def _band_limited_pulse(spec: np.ndarray) -> np.ndarray:
+    """compute_pulse (calsub2.c:263-288): zero fft_size/128 bins at both
+    spectrum ends and around the IQ centre (where the averaged pulse
+    spectrum has serious errors), then back-transform to the time-domain
+    pulse."""
+    n = len(spec)
+    s128 = max(1, n // 128)
+    s = spec.copy()
+    s[:s128] = 0
+    s[n // 2 - s128: n // 2 + s128] = 0
+    s[n - s128:] = 0
+    return np.fft.ifft(s)
+
+
+_PULPTS = 8   # calsub2.c:290 "#define PULPTS 8"
+
+
+def align_channel_phases(resp: np.ndarray, n_refine: int = 3
+                         ) -> np.ndarray:
+    """Two-channel relative-phase refinement (cal_update_ram's
+    refine_cnt loop, calsub2.c:327-398): adjust the per-channel spectra
+    so the averaged pulses have the same phase in both channels.
+
+    The phase difference is measured on the PULPTS time samples each
+    side of the pulse centre, weighted by their joint power, and split
+    symmetrically between the channels (cal_buf4[...+1]+=t3,
+    [...+3]-=t3)."""
+    r = np.asarray(resp, np.complex128).copy()
+    if r.ndim != 2 or r.shape[1] < 2:
+        return r
+    for _ in range(n_refine):
+        p0 = _band_limited_pulse(r[:, 0])
+        p1 = _band_limited_pulse(r[:, 1])
+        idx = np.r_[len(p0) - _PULPTS: len(p0), 0:_PULPTS]
+        a, b = p0[idx], p1[idx]
+        w = np.abs(a) ** 2 + np.abs(b) ** 2
+        d = np.angle(b) - np.angle(a)
+        d = (d + np.pi) % (2 * np.pi) - np.pi
+        t3 = float(np.sum(w * d) / max(np.sum(w), 1e-30)) / 2.0
+        r[:, 0] *= np.exp(1j * t3)
+        r[:, 1] *= np.exp(-1j * t3)
+    return r
+
+
+class CalAverager:
+    """Iterative interval calibration.
+
+    The reference calibrates live: the operator keeps the pulse
+    generator running while calibrate.c accumulates every detected pulse
+    into cal_buf4 and cal_update_ram (calsub2.c:291-460) re-derives the
+    correction, iterating until the displayed fit stops changing
+    (z_CALIBRATE.txt procedure).  This class is that loop as a stream
+    consumer: ``feed`` successive recording intervals; each call
+    pulse-count-weights the running coherent average, re-aligns the
+    channel phases, and re-derives ``filtercorr``; ``delta`` is the
+    relative change of the correction so scripts can stop on
+    convergence.
+    """
+
+    def __init__(self, geo: Geometry, desired: np.ndarray | None = None,
+                 max_boost: float = 10.0, threshold_rel: float = 0.3):
+        self.geo = geo
+        self.desired = desired
+        self.max_boost = max_boost
+        self.threshold_rel = threshold_rel
+        self._acc: np.ndarray | None = None
+        self.pulse_count = 0
+        self.updates = 0
+        self.delta = np.inf
+        self._corr: np.ndarray | None = None
+
+    def feed(self, pulse_iq: np.ndarray) -> np.ndarray:
+        """Accumulate one recording interval; returns the refreshed
+        filtercorr."""
+        resp, count = measure_response(
+            pulse_iq, self.geo, threshold_rel=self.threshold_rel,
+            return_count=True)
+        add = resp * count
+        if self._acc is None:
+            self._acc = add
+        else:
+            self._acc = self._acc + add
+        self.pulse_count += count
+        avg = self._acc / self.pulse_count
+        if avg.shape[1] >= 2:
+            avg = align_channel_phases(avg)
+        corr = make_filtercorr(avg, self.desired, self.max_boost)
+        if self._corr is not None:
+            num = np.linalg.norm(corr - self._corr)
+            den = max(np.linalg.norm(corr), 1e-30)
+            self.delta = float(num / den)
+        self._corr = corr
+        self.updates += 1
+        return corr
+
+    @property
+    def response(self) -> np.ndarray:
+        if self._acc is None:
+            raise ValueError("no intervals fed")
+        avg = self._acc / self.pulse_count
+        return align_channel_phases(avg) if avg.shape[1] >= 2 else avg
+
+    @property
+    def filtercorr(self) -> np.ndarray:
+        if self._corr is None:
+            raise ValueError("no intervals fed")
+        return self._corr
+
+    def converged(self, tol: float = 1e-3) -> bool:
+        return self.updates >= 2 and self.delta < tol
 
 
 # ---------------------------------------------------------------------------
@@ -167,3 +292,54 @@ def save_calibration(path: str, filtercorr: np.ndarray | None = None,
 def load_calibration(path: str) -> dict:
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+# Per-mode calibration file set (z_CALIBRATE.txt:24-55): each user mode
+# owns its own frequency-response and channel-balance files, and the
+# documented workflow is "calibrate in one mode and then copy the file"
+# to the other modes sharing the hardware setup.
+CAL_MODES = ("wcw", "cw", "hsms", "ssb", "fm", "am", "qrss",
+             "txtest", "test", "tune")
+
+
+def mode_cal_path(dirpath: str, mode: str, iq: bool = False) -> str:
+    """dsp_<mode>_corr / dsp_<mode>_iqcorr file naming
+    (z_CALIBRATE.txt:27-55)."""
+    if mode not in CAL_MODES:
+        raise ValueError(f"unknown calibration mode {mode!r}")
+    kind = "iqcorr" if iq else "corr"
+    return os.path.join(dirpath, f"dsp_{mode}_{kind}.npz")
+
+
+def save_mode_calibration(dirpath: str, mode: str,
+                          filtercorr: np.ndarray | None = None,
+                          iq_corr: np.ndarray | None = None) -> None:
+    if filtercorr is not None:
+        save_calibration(mode_cal_path(dirpath, mode),
+                         filtercorr=filtercorr)
+    if iq_corr is not None:
+        save_calibration(mode_cal_path(dirpath, mode, iq=True),
+                         iq_corr=iq_corr)
+
+
+def load_mode_calibration(dirpath: str, mode: str) -> dict:
+    """Returns whatever of {filtercorr, iq_corr} exists for the mode."""
+    out: dict = {}
+    p = mode_cal_path(dirpath, mode)
+    if os.path.exists(p):
+        out.update(load_calibration(p))
+    p = mode_cal_path(dirpath, mode, iq=True)
+    if os.path.exists(p):
+        out.update(load_calibration(p))
+    return out
+
+
+def copy_mode_calibration(dirpath: str, src_mode: str,
+                          dst_modes) -> None:
+    """Share one mode's calibration with others (the documented
+    copy-the-file workflow, z_CALIBRATE.txt:22-24)."""
+    for dst in dst_modes:
+        for iq in (False, True):
+            src = mode_cal_path(dirpath, src_mode, iq=iq)
+            if os.path.exists(src):
+                shutil.copyfile(src, mode_cal_path(dirpath, dst, iq=iq))

@@ -150,3 +150,83 @@ class TestIQBalance:
         back = load_calibration(path)
         np.testing.assert_array_equal(back["filtercorr"], fc)
         np.testing.assert_array_equal(back["iq_corr"], iqc)
+
+
+class TestIntervalCalibration:
+    """Iterative interval calibration (calsub2.c cal_update_ram +
+    the live accumulation workflow of z_CALIBRATE.txt)."""
+
+    def _pulse_train(self, geo, h=None, n_pulses=12, seed=0, noise=0.05,
+                     channels=1, ch1_phase=0.0):
+        rng = np.random.default_rng(seed)
+        n = geo.fft1_size * 2 * (n_pulses + 1)
+        x = np.zeros((n, channels), np.complex64)
+        for k in range(1, n_pulses + 1):
+            x[k * geo.fft1_size * 2, :] = 1000.0
+        if h is not None:
+            from scipy import signal as sps2
+            x = sps2.lfilter(h, [1.0], x, axis=0).astype(np.complex64)
+        if channels > 1:
+            x[:, 1] *= np.exp(1j * ch1_phase)
+        x += noise * (rng.normal(size=x.shape)
+                      + 1j * rng.normal(size=x.shape)
+                      ).astype(np.complex64)
+        return x
+
+    def test_averager_converges_and_flattens(self):
+        from linrad_tpu.calibration import CalAverager
+        geo = _geo()
+        h = np.array([1.0, 0.0, 0.45, 0.0, -0.2])
+        avgr = CalAverager(geo)
+        deltas = []
+        for seed in range(4):
+            avgr.feed(self._pulse_train(geo, h=h, seed=seed))
+            deltas.append(avgr.delta)
+        assert avgr.pulse_count >= 40
+        # successive intervals change the correction less and less
+        assert deltas[-1] < deltas[1]
+        assert avgr.converged(tol=0.05)
+        total = np.abs(avgr.response[:, 0] * avgr.filtercorr[:, 0])
+        good = total > 0
+        ripple_db = 20 * np.log10(total[good].max()
+                                  / max(total[good].min(), 1e-12))
+        assert ripple_db < 1.5, ripple_db
+
+    def test_channel_phase_alignment(self):
+        from linrad_tpu.calibration import align_channel_phases
+        geo = _geo()
+        x = self._pulse_train(geo, channels=2, ch1_phase=0.6, noise=0.001)
+        resp = measure_response(x, geo)
+        aligned = align_channel_phases(resp)
+        # per calsub2.c:391-397 the offset splits symmetrically: the two
+        # channels' pulse phases now agree
+        from linrad_tpu.calibration import _band_limited_pulse
+        p0 = _band_limited_pulse(aligned[:, 0])
+        p1 = _band_limited_pulse(aligned[:, 1])
+        d = np.angle(p1[0]) - np.angle(p0[0])
+        d = (d + np.pi) % (2 * np.pi) - np.pi
+        assert abs(d) < 0.02
+        # and the correction really was needed
+        q0 = _band_limited_pulse(resp[:, 0])
+        q1 = _band_limited_pulse(resp[:, 1])
+        d0 = np.angle(q1[0]) - np.angle(q0[0])
+        assert abs(d0) > 0.5
+
+    def test_mode_calibration_files(self, tmp_path):
+        from linrad_tpu.calibration import (copy_mode_calibration,
+                                            load_mode_calibration,
+                                            mode_cal_path,
+                                            save_mode_calibration)
+        d = str(tmp_path)
+        fc = (np.ones(64) + 0.1j).astype(np.complex64)
+        save_mode_calibration(d, "ssb", filtercorr=fc)
+        got = load_mode_calibration(d, "ssb")
+        np.testing.assert_array_equal(got["filtercorr"], fc)
+        # the documented copy-to-other-modes workflow
+        copy_mode_calibration(d, "ssb", ["wcw", "cw"])
+        for m in ("wcw", "cw"):
+            got = load_mode_calibration(d, m)
+            np.testing.assert_array_equal(got["filtercorr"], fc)
+        assert load_mode_calibration(d, "fm") == {}
+        with pytest.raises(ValueError):
+            mode_cal_path(d, "nosuchmode")
