@@ -55,8 +55,12 @@ def crossover_points(size: int, interleave_points: int, new_points: int,
     """Length of the sin^2/cos^2 crossover region for overlap-add synthesis.
 
     Reference ``prepare_mixer`` buf.c:66-93: stop the crossover where the
-    window has fallen 20 dB (factor 30 in amplitude relative to the value
-    at interleave/2 from the edge); special windows use fixed fractions.
+    window has fallen a factor 30 in amplitude relative to the value at
+    interleave/2; special windows use fixed fractions.  NB the
+    reference's ``m[0].window`` is the INVERSE window (make_window mode
+    3, buf.c:61), so its ``window[i] < 30*t1`` walk reads, in
+    forward-window terms, ``w[i] > w[i0]/30`` (verified by matching
+    ``mix1.crossover_points`` of the compiled reference at sinpow 1/3/4).
     """
     if sinpow in (0, 2):
         # no window -> plain concatenation; sin^2 -> 50% overlap-add
@@ -68,7 +72,7 @@ def crossover_points(size: int, interleave_points: int, new_points: int,
     i = interleave_points // 2
     t1 = window[i]
     cp = 0
-    while i > 0 and window[i] < 30.0 * t1:
+    while i > 0 and window[i] > t1 / 30.0:
         i -= 1
         cp += 1
     cp = min(cp, int(0.75 * new_points), interleave_points // 2)

@@ -257,6 +257,12 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
    * (menu.c:3149-3161): 1 for CW/SSB modes, 0 for AM/FM */
   use_bfo = (mode == MODE_AM || mode == MODE_FM) ? 0 : 1;
   no_of_processors = 1;
+  /* identity channel-2 amplitude/phase adjustment: the pol graph sets
+   * these from pg.ch2_gain/ch2_phase (pol_graph.c:160-170); headless
+   * they stay 0.0 and fft1_b's final block (fft1.c:4064-4080) would
+   * multiply the second RF channel by zero. */
+  pg_ch2_c1 = 1.0F;
+  pg_ch2_c2 = 0.0F;
   /* wide enough that the wide graph spans every fft1 bin: fft1_c only
    * calibrates [fft1_first_point, fft1_last_point] = the displayed
    * range (fft1.c:4615-4627), so a narrow virtual screen would leave
