@@ -214,3 +214,121 @@ def test_mix1_timf3_exact_real_input(jnp):
     ours = _run_ours(geo, x[:, None], tune_bin, jnp)[:, 0]
     maxrel, lag = _fit_best_lag(ours, ref, skip=4 * geo.mix1_new_points)
     assert maxrel < 1e-5, (maxrel, lag)
+
+
+def test_mix1_afc_per_frame_path_vs_reference(jnp):
+    """AFC per-frame mixing path vs the reference (fft1_mix1_afc
+    mix1.c:1044-1095 driving do_mix1_afc mix1.c:648-767).
+
+    Both chains are driven with the SAME per-transform frequency
+    schedule tracking a 2 kHz/s drifting carrier.  Design deviation
+    (documented in PARITY.md): the reference applies an intra-transform
+    phase chirp (phrot_step) with empirically-tuned timing — its own
+    comment admits "the frequency vs time function is not quite
+    accurate" (mix1.c:756-766) and under this drift its output carries a
+    constant ~45 Hz residual; ours mixes each frame at the commanded
+    frequency (integer bin + fractional ramp) and lands within half a
+    hop's drift of DC.  The test pins: both residuals bounded, ours at
+    least as close to the commanded schedule, and carrier SNR parity
+    after residual correction.
+    """
+    from refharness import MODE_WCW, load
+    from linrad_tpu.geometry import derive_geometry
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.mix1 import Mix1State, Mix1Tables, mix1_step
+
+    rc = RefChain(mode=MODE_WCW, ad_speed=96000, second_fft=0, sinpow=2,
+                  afc_enable=1)
+    lib = load()
+    n = rc.geo("fft1_size")
+    geo = derive_geometry(_our_params(rc, 2))
+    newp = geo.fft1_new_points
+    maxn = rc.geo("max_fft1n")
+
+    f0, rate = 12000.0, 2000.0
+    nframes = 64
+    nsamp = nframes * newp
+    t = np.arange(nsamp) / FS
+    phase = 2 * np.pi * np.cumsum(f0 + rate * t) / FS
+    rng = np.random.default_rng(5)
+    iq = np.round(4000 * np.exp(1j * phase)
+                  + 100 * (rng.standard_normal(nsamp)
+                           + 1j * rng.standard_normal(nsamp))
+                  ).astype(np.complex64)
+    mids = FS / 2 + f0 + rate * (np.arange(nframes + 2) * newp) / FS
+
+    ctypes.c_float.in_dll(lib, "baseband_bw_hz").value = 1e9
+    fq_ptr = ctypes.cast(
+        ctypes.c_void_p.in_dll(lib, "mix1_fq_mid").value,
+        ctypes.POINTER(ctypes.c_float))
+    lib.fft1_mix1_afc.restype = None
+    rc.tune(float(mids[0]))
+    kabs = 0
+    chunk = newp * 4
+    for k in range(nsamp // chunk):
+        rc.feed_iq(iq[k * chunk:(k + 1) * chunk])
+        rc.run_wideband()
+        while True:
+            nx = ctypes.c_int.in_dll(lib, "fft1_nx").value
+            nb = ctypes.c_int.in_dll(lib, "fft1_nb").value
+            if nx == nb:
+                break
+            fq_ptr[nx] = mids[kabs]
+            fq_ptr[(nx + 1) % maxn] = mids[kabs + 1]
+            lib.fft1_mix1_afc()
+            kabs += 1
+    assert kabs == nframes
+    pa = rc.geo("timf3_pa")
+    w = rc.array("timf3_float", pa).copy()
+    ref = (w[0::2] + 1j * w[1::2]).astype(np.complex64)
+
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    tm, sm = Mix1Tables.create(geo), Mix1State.create(geo)
+    pph = np.float32(1.0) / (np.float32(FS) / np.float32(n))
+    spp = geo.samples_per_step
+    fr_per = geo.fft1_frames_per_step
+    ours = []
+    for s in range(nsamp // spp):
+        blk = jnp.asarray(iq[s * spp:(s + 1) * spp][:, None])
+        s1, spec, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
+        sched = mids[s * fr_per:(s + 1) * fr_per]
+        f_lin = sched - FS / 2
+        tbins = np.float32(np.float32(sched) * pph) - np.float32(FS / 2) * pph
+        bins = np.round(f_lin * n / FS).astype(np.int32)
+        frac = (tbins - np.round(tbins)).astype(np.float32)
+        sm, timf3 = mix1_step(geo, tm, sm, spec, jnp.asarray(bins),
+                              tune_frac=jnp.asarray(frac))
+        ours.append(np.asarray(timf3[:, 0]))
+    ours = np.concatenate(ours)
+
+    fs_t3 = FS / (n // geo.mix1_size)
+    hop_drift = rate * newp / FS           # Hz of drift per transform hop
+
+    def residual_hz(z):
+        zz = z[len(z) // 4:]
+        spec = np.abs(np.fft.fft(zz * np.hanning(len(zz))))
+        return float(np.fft.fftfreq(len(zz), 1 / fs_t3)[np.argmax(spec)])
+
+    r_ref = residual_hz(ref[: len(ours)])
+    r_ours = residual_hz(np.conj(ours))
+    assert abs(r_ours) < 1.5 * hop_drift, (r_ours, hop_drift)
+    assert abs(r_ref) < 10 * hop_drift, r_ref       # sanity: ref locked too
+    assert abs(r_ours) <= abs(r_ref) + 1.0          # at least as accurate
+
+    def carrier_snr_db(z, fres):
+        zz = z[len(z) // 4:]
+        k = np.arange(len(zz))
+        zz = zz * np.exp(-2j * np.pi * fres / fs_t3 * k)
+        spec = np.abs(np.fft.fft(zz * np.hanning(len(zz)))) ** 2
+        pk = int(np.argmax(spec))
+        # the tone window must span one hop's drift: the stepped mixer
+        # leaves a +/-hop_drift/2 sawtooth FM, the reference's chirp its
+        # own curvature wiggle (mix1.c:756-766)
+        guard = int(np.ceil(1.5 * hop_drift / (fs_t3 / len(zz)))) + 4
+        idx = (np.arange(pk - guard, pk + guard + 1)) % len(zz)
+        tone = spec[idx].sum()
+        return 10 * math.log10(tone / max(spec.sum() - tone, 1e-30))
+
+    snr_ref = carrier_snr_db(ref[: len(ours)], r_ref)
+    snr_ours = carrier_snr_db(np.conj(ours), r_ours)
+    assert snr_ours > snr_ref - 1.5, (snr_ours, snr_ref)
