@@ -21,6 +21,9 @@ ERROR_TEXT = {
     9002: "geometry not divisible by the requested shard count",
     9003: "calibration table size does not match fft1_size",
     9004: "unsupported raw-file bit depth",
+    9005: "processing stalled (watchdog heartbeat timeout)",
+    9006: "input overrun: data lost faster than it could be consumed",
+    9007: "processing is slower than real time (margin exhausted)",
 }
 
 

@@ -214,7 +214,8 @@ class Receiver:
         self.control.steps_done = v
 
     def run(self, iq: np.ndarray, progress: bool = False,
-            transport: "Transport | None" = None, pace: bool = False):
+            transport: "Transport | None" = None, pace: bool = False,
+            watchdog=None, monitor=None):
         """Stream an arbitrary-length recording; yields RxOutputs per
         step (drops the final partial block, like the reference's file
         input thread stops at EOF, modesub.c:1022).
@@ -222,7 +223,12 @@ class Receiver:
         transport: optional pause/resume/seek control between steps
         (diskread_pause_flag analog).  pace: replay at the recording's
         real-time rate, like the reference's file input thread paces to
-        the A/D speed (§3.5)."""
+        the A/D speed (§3.5).
+
+        watchdog/monitor: optional runtime.watchdog.Watchdog (gets a
+        "receiver" heartbeat per step, the thread_status_flag analog)
+        and RealTimeMonitor (advanced by each step's input samples —
+        the z_TIMING.txt margin surface)."""
         import time as _time
         if iq.ndim == 1:
             iq = iq[:, None]
@@ -242,7 +248,12 @@ class Receiver:
                 delay = due - _time.monotonic()
                 if delay > 0:
                     _time.sleep(delay)
-            yield self.process_block(iq[i * s:(i + 1) * s])
+            out = self.process_block(iq[i * s:(i + 1) * s])
+            if watchdog is not None:
+                watchdog.beat("receiver")
+            if monitor is not None:
+                monitor.advance(s if self.geo.iq_input else s // 2)
+            yield out
             i += 1
             done += 1
 
