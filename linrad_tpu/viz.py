@@ -247,3 +247,16 @@ def save_gif(path: str, image: np.ndarray,
             chunk = data[i: i + 255]
             f.write(bytes([len(chunk)]) + chunk)
         f.write(b"\x00\x3B")                     # terminator + trailer
+
+
+def radar_graph_image(tracker, log_floor_db: float = -60.0) -> np.ndarray:
+    """The radar graph (make_radar_graph radar.c:422-520) as a data
+    product: range lines on the vertical axis, display bins across, dB
+    intensity in [0,1].  ``tracker`` is a weak.radar.RadarTracker; before
+    lock the image is empty."""
+    avg = tracker.average
+    if avg.size == 0:
+        return np.zeros((0, 0), np.float32)
+    db = 10.0 * np.log10(np.maximum(avg, 1e-30))
+    db -= db.max()
+    return np.clip(1.0 - db / log_floor_db, 0.0, 1.0).astype(np.float32)

@@ -133,3 +133,20 @@ def test_radar_no_lock_without_pulses():
         pw = rng.random((32, geo.fft1_size)).astype(np.float32)
         tracker.feed(pw)
     assert not tracker.locked
+
+
+def test_radar_graph_image():
+    from linrad_tpu.viz import radar_graph_image
+
+    class T:
+        average = np.array([[1.0, 100.0], [0.01, 1e-9]], np.float32)
+
+    img = radar_graph_image(T())
+    assert img.shape == (2, 2)
+    assert img[0, 1] == 1.0 and img[1, 1] == 0.0
+    assert np.all((img >= 0) & (img <= 1))
+
+    class Empty:
+        average = np.zeros((0, 0), np.float32)
+
+    assert radar_graph_image(Empty()).shape == (0, 0)
