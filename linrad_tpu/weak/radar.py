@@ -243,7 +243,14 @@ class RadarTracker:
             while ia + 1 < len(pw) and 0.01 * t1 < pw[ia, self.pulse_bin]:
                 ia += 1
             start = ia - 10
-            if start < 0 or start + self.lines > len(pw):
+            if start < 0:
+                # the window's head has already left the history buffer —
+                # unrecoverable; skip this pulse permanently so scanning
+                # (and trimming) can advance
+                self._next_scan = self._consumed + c + max(
+                    self.pulse_sep // 2, 1)
+                continue
+            if start + self.lines > len(pw):
                 continue    # window not fully buffered yet; retry later
             self._avg = _accumulate(
                 self._avg, pw_j, start, self.decayfac, self.lines,

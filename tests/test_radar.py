@@ -150,3 +150,29 @@ def test_radar_graph_image():
         average = np.zeros((0, 0), np.float32)
 
     assert radar_graph_image(Empty()).shape == (0, 0)
+
+
+def test_radar_history_stays_bounded():
+    """Long-running session: the host-side frame history must stay
+    bounded (the fft1_sumsq ring analog) — scanning must advance past
+    pulses whose windows left the buffer rather than stall trimming."""
+    geo, _ = _geometry()
+    n_steps = 60
+    iq = _radar_iq(geo, n_steps)
+    tables = FFT1Tables.create(geo, edge_taper=False)
+    state = FFT1State.create(geo)
+    tracker = RadarTracker(
+        n_bins=geo.fft1_size, frame_time_s=geo.fft1_new_points / FS,
+        params=RadarParams(time=2.0, lock_after=500))
+    for s in range(n_steps):
+        blk = jnp.asarray(
+            iq[s * geo.samples_per_step:(s + 1) * geo.samples_per_step,
+               None])
+        state, spec, _ = fft1_step(geo, tables, state, blk, avg1num=64)
+        tracker.feed(np.abs(np.asarray(spec)) ** 2)
+    assert tracker.locked
+    assert tracker.update_cnt >= 30
+    buffered = sum(len(a) for a in tracker._hist_pw)
+    keep = max(4 * tracker.pulse_sep + tracker.lines + 64,
+               tracker.params.lock_after + 64)
+    assert buffered <= keep + 32 * 2   # within one step of the bound
