@@ -84,7 +84,8 @@ class Mix1State:
 def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
               spectra: jax.Array, center_bins: jax.Array,
               variant: str | None = None,
-              tune_frac: jax.Array | None = None
+              tune_frac: jax.Array | None = None,
+              tune_slope: jax.Array | None = None
               ) -> tuple[Mix1State, jax.Array]:
     """Downconvert one step of fftx spectra to the timf3 baseband stream.
 
@@ -99,6 +100,17 @@ def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
                  recompiles.  The phase accumulator carries in turns
                  (float32 wrap, same drift class as the reference's
                  float accumulators).
+    tune_slope:  optional () or (n,) float32 — frequency CHANGE across
+                 each frame, in big-FFT bins per hop.  When tracking a
+                 drifting signal with per-frame fracs alone, the mixed
+                 output carries a sawtooth FM of one hop's drift; this
+                 linearises the per-sample frequency within each frame
+                 (our design for the reference's intra-transform chirp,
+                 ``phrot_step`` do_mix1 mix1.c:103-106/158-234 — which
+                 its own comments call empirically timed, mix1.c:756).
+                 Typically ``slope[b] = frac_next[b] - frac[b]`` plus
+                 any integer-bin change, so the instantaneous frequency
+                 is continuous across frames.  Requires ``tune_frac``.
 
     Returns (new_state, timf3) with timf3 (n * mix1_new_points, C)
     complex64 at timf3_sampling_speed, amplitude-true (the analysis
@@ -143,10 +155,20 @@ def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
         hop_m = geo.mix1_new_points
         fr = jnp.broadcast_to(jnp.asarray(tune_frac, jnp.float32), (n,))
         per_samp = jnp.repeat(fr / m, hop_m, total_repeat_length=n * hop_m)
+        if tune_slope is not None:
+            # linearise frequency within each frame: frac is the value
+            # at the frame MIDPOINT, slope the change per hop
+            sl = jnp.broadcast_to(jnp.asarray(tune_slope, jnp.float32),
+                                  (n,))
+            pos = (jnp.arange(hop_m, dtype=jnp.float32) + 0.5) / hop_m \
+                - 0.5                                 # (-0.5, 0.5)
+            per_samp = per_samp + jnp.repeat(
+                sl / m, hop_m, total_repeat_length=n * hop_m) \
+                * jnp.tile(pos, n)
         cum = state.frac_phase + jnp.cumsum(per_samp) - per_samp
         theta = (-2.0 * jnp.pi) * jnp.mod(cum, 1.0)
         ramp = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
         timf3 = timf3 * ramp[:, None]
-        new_frac = jnp.mod(state.frac_phase + jnp.sum(fr) * hop_m / m, 1.0)
+        new_frac = jnp.mod(state.frac_phase + jnp.sum(per_samp), 1.0)
     return Mix1State(phase_idx=new_phase, ola_carry=carry,
                      frac_phase=new_frac), timf3
