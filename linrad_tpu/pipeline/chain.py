@@ -199,14 +199,20 @@ class NBState:
 def narrowband_tail(geo: Geometry, p: RxParams, tables: RxTables,
                     nb: NBState, fftx_spec: jax.Array,
                     tune_bin: jax.Array,
-                    tune_frac: jax.Array | None = None):
+                    tune_frac: jax.Array | None = None,
+                    tune_slope: jax.Array | None = None):
     """mix1 -> fft3 -> mix2 -> demod -> AGC/expander/squelch for one
     tuned sub-receiver (the reference's narrowband_dsp + mix2 + fft3 +
     detector thread group, SURVEY.md §3.4).
 
+    tune_slope (with per-frame tune_frac): coherent drift tracking —
+    the AFC supplies (constant bin, deviation, per-frame slope) via
+    AFCTracker.frame_tuning.
+
     Returns (nb', audio, baseb, agc_gain)."""
     s_mix1, timf3 = mix1_step(geo, tables.mix1, nb.mix1, fftx_spec,
-                              tune_bin, tune_frac=tune_frac)
+                              tune_bin, tune_frac=tune_frac,
+                              tune_slope=tune_slope)
     return narrowband_post_mix1(geo, p, tables, nb, s_mix1, timf3)
 
 

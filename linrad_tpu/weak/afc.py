@@ -254,3 +254,23 @@ class AFCTracker:
         freqs = np.array([self.predict(ti) for ti in t])
         return (np.round(freqs / bw).astype(np.int64)
                 % self.geo.fftx_size).astype(np.int32)
+
+    def frame_tuning(self, step_start_s: float, n_frames: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-frame (bins, frac, slope) for coherent drift tracking:
+        a CONSTANT base bin for the whole step with the full deviation
+        on the fractional ramp, linearised within each frame
+        (mix1_step's tune_frac/tune_slope — the do_mix1_afc capability,
+        mix1.c:648, without inter-frame integer-bin steps breaking the
+        overlap-add)."""
+        hop_s = self.geo.fftx_new_points / self.geo.timf1_sampling_speed
+        bw = self._bin_hz()
+        lead = self.config.delay * hop_s
+        # frequencies at frame midpoints, plus one ahead for the slope
+        t = step_start_s + lead + hop_s * (np.arange(n_frames + 1) + 0.5)
+        tbins = np.array([self.predict(ti) for ti in t]) / bw
+        base = int(round(tbins[n_frames // 2]))
+        bins = np.full(n_frames, base % self.geo.fftx_size, np.int32)
+        frac = (tbins[:n_frames] - base).astype(np.float32)
+        slope = np.diff(tbins).astype(np.float32)
+        return bins, frac, slope

@@ -97,3 +97,46 @@ def test_zero_slope_matches_plain_frac():
                      jnp.int32(128), tune_frac=frac,
                      tune_slope=jnp.float32(0.0))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_afc_frame_tuning_consistency():
+    """AFCTracker.frame_tuning returns a constant base bin with the
+    deviation on frac and slopes matching the prediction's drift."""
+    from linrad_tpu.weak.afc import AFCConfig, AFCTracker
+
+    p = RxParams(first_fft_bandwidth=30.0, mix1_bandwidth_reduction_n=4,
+                 agc_enable=False, afc_enable=True)
+    geo = derive_geometry(p)
+    tr = AFCTracker(geo, AFCConfig())
+    tr.status = 3
+    tr._t0 = 0.0
+    tr._coef = [10_000.0, 2.0]          # 2 Hz/s drift
+    tr.freq_hz = 10_000.0
+    n = geo.fftx_frames_per_step
+    bins, frac, slope = tr.frame_tuning(1.0, n)
+    assert len(bins) == len(frac) == len(slope) == n
+    assert np.all(bins == bins[0])      # constant base: coherent OLA
+    bw = geo.timf1_sampling_speed / geo.fftx_size
+    hop_s = geo.fftx_new_points / geo.timf1_sampling_speed
+    # reconstructed frequency == prediction at each frame midpoint
+    f_rec = (bins[0] + frac) * bw
+    t = 1.0 + tr.config.delay * hop_s + hop_s * (np.arange(n) + 0.5)
+    f_exp = np.array([tr.predict(ti) for ti in t])
+    np.testing.assert_allclose(f_rec, f_exp, atol=bw * 1e-3)
+    # slopes equal the drift per hop
+    np.testing.assert_allclose(slope * bw, 2.0 * hop_s, rtol=1e-3)
+
+    # and the chain tail accepts the tuple end-to-end
+    from linrad_tpu.pipeline.chain import (NBState, RxTables,
+                                           narrowband_tail)
+    tables = RxTables.create(geo, p)
+    nb = NBState.create(geo)
+    rng = np.random.default_rng(1)
+    spec = jnp.asarray(
+        (rng.standard_normal((n, geo.fftx_size, 1))
+         + 1j * rng.standard_normal((n, geo.fftx_size, 1))
+         ).astype(np.complex64))
+    nb2, audio, baseb, gain = narrowband_tail(
+        geo, p, tables, nb, spec, jnp.asarray(bins),
+        tune_frac=jnp.asarray(frac), tune_slope=jnp.asarray(slope))
+    assert np.all(np.isfinite(np.asarray(baseb)))
