@@ -678,3 +678,73 @@ def test_clever_blanker_single_pulse_vs_reference(jnp):
         assert maxrel_b < 1e-5, (s_b, maxrel_b)
     finally:
         lib.ref_set_pretend_calamp(0)
+
+
+def test_timf2_and_fft2_exact_two_channels(jnp):
+    """2-channel wideband branch: the dual-channel back transform
+    (fft1back_two / split_two) and the two-channel fft2 bodies
+    (fft2.c separate 1-chan/2-chan paths) reproduce the reference
+    float32-exactly on both RF channels."""
+    from refharness import IQ_DATA, TWO_CHANNELS
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.fft2 import FFT2State, FFT2Tables, fft2_step
+    from linrad_tpu.ops.timf2 import (Timf2State, make_timf2_syn,
+                                      timf2_step)
+    import dataclasses
+
+    rc = _wide_ref(rf_channels=2, input_mode=IQ_DATA + TWO_CHANNELS)
+    _geo1, params = _wide_geo(rc)
+    params = dataclasses.replace(params, rx_rf_channels=2)
+    from linrad_tpu.geometry import derive_geometry
+    geo = derive_geometry(params)
+    assert geo.channels == 2
+
+    newp = geo.fft1_new_points
+    n = geo.fft1_size
+    n2 = geo.fft2_size
+    rng = np.random.default_rng(8)
+    nsamp = newp * 64
+    iq = np.round(3000 * (rng.standard_normal((nsamp, 2))
+                          + 1j * rng.standard_normal((nsamp, 2))))
+    rc.feed_iq(iq)
+    rc.run_wideband()
+    pts = rc.geo("timf2_pa") // (4 * 2)
+    ref_t2 = rc.timf2_stream(pts)       # (pts, 2[weak/strong], 2 ch)
+
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    syn = make_timf2_syn(geo)
+    st2 = Timf2State.create(geo)
+    tf2, sf2 = FFT2Tables.create(geo), FFT2State.create(geo)
+    wg = jnp.ones(n, jnp.float32)
+    sg = jnp.zeros(n, jnp.float32)
+    spp = geo.fft1_frames_per_step * newp
+    weak_all, f2_all = [], []
+    for s in range(len(iq) // spp):
+        blk = jnp.asarray(iq[s * spp:(s + 1) * spp].astype(np.complex64))
+        s1, spec, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
+        st2, weak, strong, wpwr = timf2_step(geo, syn, st2, spec, wg, sg)
+        sf2, spec2, _ = fft2_step(geo, tf2, sf2, weak, strong)
+        weak_all.append(np.asarray(weak))
+        f2_all.append(np.asarray(spec2))
+    ours_w = np.concatenate(weak_all)           # (t, 2)
+    ours2 = np.concatenate(f2_all, axis=0)      # (nf, n2, 2)
+
+    m = min(len(ours_w), pts) - geo.fft1_size
+    for ch in range(2):
+        s, maxrel = _fit_altconj(ours_w[:m, ch], ref_t2[:m, 0, ch],
+                                 skip=3000)
+        assert maxrel < 1e-5, (ch, s, maxrel)
+        assert np.abs(ref_t2[:m, 1, ch]).max() == 0.0   # all-weak
+
+    nfft2 = rc.geo("fft2_na")
+    assert nfft2 >= 8
+    raw2 = rc.array("fft2_float", nfft2 * 4 * n2).copy()
+    for r in range(2, nfft2):
+        fr = raw2[r * 4 * n2:(r + 1) * 4 * n2].reshape(n2, 4)
+        for ch in range(2):
+            ref_fr = fr[:, 2 * ch] + 1j * fr[:, 2 * ch + 1]
+            a = np.conj(np.fft.fftshift(ours2[r + 1, :, ch]))
+            s = np.vdot(a, ref_fr) / np.vdot(a, a)
+            err = np.abs(ref_fr - s * a)
+            maxrel = err.max() / np.abs(ref_fr).max()
+            assert maxrel < 1e-5, (r, ch, s, maxrel)
