@@ -748,3 +748,121 @@ def test_timf2_and_fft2_exact_two_channels(jnp):
             err = np.abs(ref_fr - s * a)
             maxrel = err.max() / np.abs(ref_fr).max()
             assert maxrel < 1e-5, (r, ch, s, maxrel)
+
+
+def test_clever_blanker_two_channel_pulse_vs_reference(jnp):
+    """2-channel single-pulse crosscheck vs subtract_twochan_pulse
+    (blank1.c:232-432): the reference rotates timf2 into the pulse's
+    polarization frame (get_pulse_pol blank1.c:433, transform_timf2_pol
+    :565) and fits there; our design fits a per-channel phase against
+    the shared refpulse shape.  Both must fit exactly one pulse and
+    suppress the polarized pulse comparably on BOTH channels."""
+    import math as _m
+
+    from refharness import IQ_DATA, TWO_CHANNELS, load
+    from linrad_tpu.geometry import derive_geometry
+    from linrad_tpu.ops import blanker as blanker_ops
+    from linrad_tpu.ops.blanker import BlankerTables
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.timf2 import (Timf2State, make_timf2_syn,
+                                      timf2_step)
+    import dataclasses
+
+    lib = load()
+    lib.ref_set_pretend_calamp(1)
+    try:
+        kw = dict(ad_speed=96000, second_fft=1, sinpow=2, rf_channels=2,
+                  input_mode=IQ_DATA + TWO_CHANNELS)
+        rc = RefChain(**kw)
+        rc.set_liminfo_auto(False)
+        assert rc.geo("refpul_size") == 256
+        _g1, params = _wide_geo(rc)
+        params = dataclasses.replace(params, rx_rf_channels=2)
+        geo = derive_geometry(params)
+        newp = geo.fft1_new_points
+        n = newp * 48
+        rng = np.random.default_rng(5)
+        iq = 100.0 * (rng.standard_normal((n, 2))
+                      + 1j * rng.standard_normal((n, 2)))
+        # a polarized pulse: different amplitude AND phase per channel
+        iq[20 * newp + 517, 0] += 20000.0 * np.exp(0.7j)
+        iq[20 * newp + 517, 1] += 12000.0 * np.exp(-0.4j)
+        iq = np.round(iq)
+
+        rc.set_hg("clever_bln_mode", 0)
+        rc.set_hg("stupid_bln_mode", 0)
+        rc.feed_iq(iq)
+        rc.run_wideband()
+        pts = rc.geo("timf2_pa") // 8
+        ref_off = rc.timf2_stream(pts)[:, 0, :].copy()
+        nf_ref = float(np.median(np.abs(ref_off[5000:, 0]) ** 2
+                       + np.abs(ref_off[5000:, 1]) ** 2)) * 1.4
+        lim_ref = 30.0 * nf_ref
+
+        rc2 = RefChain(**kw)
+        rc2.set_liminfo_auto(False)
+        rc2.set_hg("stupid_bln_mode", 0)
+        rc2.set_hg("clever_bln_mode", 2)
+        rc2.set_hg("clever_bln_limit", lim_ref)
+        rc2.set_var("timf2_noise_floor", nf_ref)
+        rc2.set_var("blanker_info_update_interval", 1 << 30)
+        rc2.set_var("min_delay_time", 1e-9)
+        rc2.feed_iq(iq)
+        rc2.run_wideband()
+        ref_on = rc2.timf2_stream(pts)[:, 0, :].copy()
+        assert rc2.geo("timf2_fitted_pulses") == 1
+
+        t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+        syn = make_timf2_syn(geo)
+        st2 = Timf2State.create(geo)
+        wg = jnp.ones(geo.fft1_size, jnp.float32)
+        sg = jnp.zeros(geo.fft1_size, jnp.float32)
+        spp = geo.fft1_frames_per_step * newp
+        weak_all, pwr_all = [], []
+        for s in range(len(iq) // spp):
+            blk = jnp.asarray(
+                iq[s * spp:(s + 1) * spp].astype(np.complex64))
+            s1, spec, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
+            st2, weak, strong, wpwr = timf2_step(geo, syn, st2, spec,
+                                                 wg, sg)
+            weak_all.append(np.asarray(weak))
+            pwr_all.append(np.asarray(wpwr))
+        ours_w = np.concatenate(weak_all)
+        ours_pwr = np.concatenate(pwr_all)
+        m = min(len(ours_w), pts) - geo.fft1_size
+        s0, maxrel = _fit_altconj(ours_w[:m, 0], ref_off[:m, 0],
+                                  skip=3000)
+        assert maxrel < 1e-5
+        s2f = float(abs(s0)) ** 2
+
+        tables, pw = BlankerTables.create(geo)
+        w2, _p2, nfit = blanker_ops.clever_blanker(
+            jnp.asarray(ours_w[:m]), jnp.asarray(ours_pwr[:m]), tables,
+            jnp.float32(nf_ref / s2f), _m.sqrt(lim_ref / nf_ref), pw,
+            max_pulses=8, block_size=0)
+        assert int(nfit) == 1
+        w2 = np.asarray(w2)
+
+        ppos = int(np.argmax(np.abs(ref_off[:m, 0])))
+        sl = slice(ppos - 40, ppos + 40)
+        for ch in range(2):
+            e_off = float((np.abs(ref_off[sl, ch]) ** 2).sum())
+            supp_ref = 10 * _m.log10(
+                e_off / float((np.abs(ref_on[sl, ch]) ** 2).sum()))
+            supp_ours = 10 * _m.log10(
+                e_off / (float((np.abs(w2[sl, ch]) ** 2).sum()) * s2f))
+            assert supp_ref > 15.0 and supp_ours > 15.0, (
+                ch, supp_ref, supp_ours)
+            assert abs(supp_ref - supp_ours) < 6.0, (ch, supp_ref,
+                                                     supp_ours)
+
+        # outside the subtraction window both channels stay exact
+        mask = np.ones(m, bool)
+        mask[max(ppos - 300, 0): ppos + 300] = False
+        mask[:3000] = False
+        for ch in range(2):
+            _sb, maxrel_b = _fit_altconj(w2[:, ch], ref_on[:m, ch],
+                                         skip=0, mask=mask)
+            assert maxrel_b < 1e-5, (ch, maxrel_b)
+    finally:
+        lib.ref_set_pretend_calamp(0)
