@@ -332,3 +332,90 @@ def test_mix1_afc_per_frame_path_vs_reference(jnp):
     snr_ref = carrier_snr_db(ref[: len(ours)], r_ref)
     snr_ours = carrier_snr_db(np.conj(ours), r_ours)
     assert snr_ours > snr_ref - 1.5, (snr_ours, snr_ref)
+
+
+def _real_tone_snr_db(x, fs, f):
+    """Tone-vs-rest for REAL audio (positive-frequency half only; a
+    complex-spectrum measure would count the mirrored line as noise)."""
+    x = np.asarray(x, np.float64)
+    x = x - x.mean()
+    w = np.hanning(len(x))
+    spec = np.abs(np.fft.rfft(x * w)) ** 2
+    fr = np.fft.rfftfreq(len(x), 1 / fs)
+    k = int(np.argmin(np.abs(fr - f)))
+    tone = spec[max(k - 6, 0): k + 7].sum()
+    return 10 * math.log10(tone / max(spec.sum() - tone, 1e-30))
+
+
+@pytest.mark.parametrize("mode", ["am", "fm"])
+def test_am_fm_audio_parity_vs_reference(mode, jnp):
+    """Demodulated-AUDIO parity for the non-BFO detectors: the
+    reference's AM envelope detector (mix2.c:1804-1834) and FM
+    discriminator (detect_fm fm.c:93) vs ours, compared at the
+    baseb_out audio level (use_bfo=0 modes deliver detected audio
+    there).  Matched baseband bandwidths; ours must be within 1.5 dB
+    (FM measured ~5 dB BETTER than the reference at equal bandwidth)."""
+    import dataclasses
+
+    from linrad_tpu.params import Demod
+    from linrad_tpu.pipeline.chain import RxState, RxTables, make_rx_step
+
+    MODE_FM, MODE_AM = 4, 5
+    rc = RefChain(mode=MODE_AM if mode == "am" else MODE_FM,
+                  ad_speed=96000, second_fft=0, sinpow=2)
+    # reuse the narrowband geometry mapping
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ref_parity import _our_geo
+    geo, params = _our_geo(rc)
+    params = dataclasses.replace(
+        params, demod=Demod.AM if mode == "am" else Demod.FM,
+        filter_low_hz=-3000.0, filter_high_hz=3000.0)
+
+    rng = np.random.default_rng(11)
+    newp = geo.fft1_new_points
+    nsamp = newp * 400
+    t = np.arange(nsamp) / FS
+    f_true, fmod = 12000.0, 400.0
+    if mode == "am":
+        env = 1.0 + 0.6 * np.sin(2 * np.pi * fmod * t)
+        sig = 2000.0 * env * np.exp(2j * np.pi * f_true * t)
+    else:
+        dev = 1000.0
+        phase = 2 * np.pi * f_true * t \
+            + (dev / fmod) * np.sin(2 * np.pi * fmod * t)
+        sig = 2000.0 * np.exp(1j * phase)
+    iq = np.round(sig + 8.0 * (rng.standard_normal(nsamp)
+                               + 1j * rng.standard_normal(nsamp)))
+
+    rc.tune(FS / 2 + f_true)
+    ch = newp * 20
+    audio = []
+    for k in range(nsamp // ch):
+        rc.feed_iq(iq[k * ch:(k + 1) * ch])
+        rc.run_wideband()
+        rc.run_narrowband()
+        a = rc.consume_audio()
+        if len(a):
+            audio.append(a)
+    ref_audio = np.concatenate(audio)
+    fs_bb = rc.geof("baseband_sampling_speed")
+    snr_ref = _real_tone_snr_db(ref_audio[len(ref_audio) // 4:, 0],
+                                fs_bb, fmod)
+
+    step = make_rx_step(geo, params)
+    tables = RxTables.create(geo, params)
+    state = RxState.create(geo)
+    tune_bin = int(round(f_true * geo.fft1_size / FS))
+    spp = geo.samples_per_step
+    ours = []
+    import jax.numpy as jnp_
+    for s in range(nsamp // spp):
+        blk = jnp_.asarray(
+            iq[s * spp:(s + 1) * spp].astype(np.complex64)[:, None])
+        state, out = step(tables, state, blk, jnp_.int32(tune_bin))
+        ours.append(np.asarray(out.audio[:, 0]))
+    oursa = np.concatenate(ours)
+    snr_ours = _real_tone_snr_db(oursa[len(oursa) // 4:], fs_bb, fmod)
+
+    assert snr_ref > 20.0, snr_ref          # the reference is receiving
+    assert snr_ours > snr_ref - 1.5, (snr_ours, snr_ref)
