@@ -100,9 +100,13 @@ class Receiver:
         self._resampler_state = None
         if audio_out_rate:
             from ..ops.resample import Resampler
+            # 32-tap windowed sinc: interpolation + anti-image filtering
+            # in one contraction (the reference needs a separate IIR
+            # after its 4-point interpolator, rxout.c:1165-1210)
             self._resampler = Resampler(
                 self.geo.baseband_sampling_speed, audio_out_rate,
-                self.geo.baseband_samples_per_step, self.geo.channels)
+                self.geo.baseband_samples_per_step, self.geo.channels,
+                taps=32)
             self._resampler_state = self._resampler.init_state()
         # user-extension hooks — the users_*.c plugin surface
         # (SURVEY.md §2.13: users_init_mode menu.c:693, users_extra_fast

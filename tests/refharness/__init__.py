@@ -74,6 +74,11 @@ def load():
     lib.ref_consume_audio.argtypes = [
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.c_long]
+    lib.ref_run_output.restype = ctypes.c_int
+    lib.ref_consume_daout.restype = ctypes.c_long
+    lib.ref_consume_daout.argtypes = [
+        np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
     lib.ref_fftforward.restype = ctypes.c_int
     lib.ref_fftforward.argtypes = [
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
@@ -226,6 +231,20 @@ class RefChain:
     def consume_audio(self, max_points=1 << 20) -> np.ndarray:
         buf = np.empty((max_points, 2), np.float32)
         n = self.lib.ref_consume_audio(buf.reshape(-1), max_points)
+        return buf[:n]
+
+    def run_output(self):
+        """Drive the D/A output stage (make_audio_signal rxout.c:970):
+        fractional resampling to DA_OUTPUT_SPEED, AGC gain, BFO product,
+        int conversion into daout."""
+        rc = self.lib.ref_run_output()
+        if rc != 0:
+            raise RuntimeError(f"ref_run_output err {rc}")
+
+    def consume_daout(self, max_frames=1 << 19) -> np.ndarray:
+        """Drain the D/A ring as (n, 2) int16 L/R frames."""
+        buf = np.empty((max_frames, 2), np.int16)
+        n = self.lib.ref_consume_daout(buf.reshape(-1), max_frames)
         return buf[:n]
 
     # ---- spectra ----

@@ -46,7 +46,7 @@ REF_SOURCES = [
     # calibration
     "calibrate", "caliq", "calsub", "calsub2", "calvar",
     # runtime/geometry + orchestration helpers
-    "buf", "modesub", "wcw", "csplit", "timing",
+    "buf", "modesub", "wcw", "csplit", "timing", "rxout",
     # graphs that own DSP parameters / sizes (headless via stubs)
     "wide_graph", "hires_graph", "baseb_graph", "pol_graph",
     "meter_graph", "coh_osc", "siganal_graph", "allan_graph",

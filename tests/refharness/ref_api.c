@@ -734,6 +734,58 @@ int ref_tune(double hz)
 /* Host-side capture of demodulated audio (baseb_out, two floats per
  * baseband point) between baseb_py and baseb_pa; advances baseb_py so
  * the do_mix2 flow-control guard never stalls. */
+/* Drive the D/A output conversion — rx_output's make_audio_signal core
+ * (rxout.c:970-1639): squelch, Lagrange fractional resampling to the
+ * D/A rate, AGC gain application, BFO product / FM upsampling IIR, and
+ * int8/int16 conversion into the daout ring.  make_daout_gain is
+ * normally the baseband graph's mouse handler (baseb_graph.c:2963);
+ * headless we call it once for the deterministic default gain. */
+int ref_run_output(void)
+{
+  int guard = 1 << 18;
+  /* rx_output's init (rxout.c:305-336) runs in the output thread and
+   * reads the D/A soundcard block size; headless we set the same
+   * fields deterministically. */
+  snd[RXDA].framesize = rx_daout_bytes * rx_daout_channels;
+  snd[RXDA].block_bytes = 256 * snd[RXDA].framesize;
+  baseb_output_block = snd[RXDA].block_bytes / (2 * da_resample_ratio);
+  if (baseb_output_block < 16) baseb_output_block = 16;
+  baseb_min_block = 1 + 1 / da_resample_ratio;
+  if (baseb_min_block < baseb_output_block / 16)
+    baseb_min_block = baseb_output_block / 16;
+  make_daout_gain();
+  allow_audio = TRUE;
+  for (;;) {
+    int before = daout_pa;
+    make_audio_signal();
+    if (kill_all_flag) return -refapi_errcode;
+    if (daout_pa == before || guard-- <= 0) break;
+  }
+  return 0;
+}
+
+/* Consume D/A frames as (L,R) int16 pairs. */
+long ref_consume_daout(short *dst, long max_frames)
+{
+  long n = 0;
+  int mm = rx_daout_bytes * rx_daout_channels;
+  while (daout_px != daout_pa && n < max_frames) {
+    if (rx_daout_bytes == 2) {
+      short *p = (short *)&daout[daout_px];
+      dst[2 * n] = p[0];
+      dst[2 * n + 1] = (rx_daout_channels == 2) ? p[1] : p[0];
+    } else {
+      dst[2 * n] = (short)((unsigned char)daout[daout_px] - 0x80);
+      dst[2 * n + 1] = (rx_daout_channels == 2)
+          ? (short)((unsigned char)daout[daout_px + 1] - 0x80)
+          : dst[2 * n];
+    }
+    daout_px = (daout_px + mm) & daout_bufmask;
+    n++;
+  }
+  return n;
+}
+
 long ref_consume_audio(float *dst, long max_points)
 {
   long n = 0;
@@ -889,6 +941,11 @@ int adjust_scale(double *step)
   return i;
 }
 void clear_hware_data(void) {}
+/* rxout.c soundcard-output hooks: no D/A device headless (rx_audio_out
+ * stays negative, so these are never reached by make_audio_signal). */
+void lir_empty_da_device_buffer(void) {}
+void lir_rx_dawrite(void) {}
+void sys_func(int no) { (void)no; }   /* soundcard open/close dispatch */
 void dual_graph_borders(WG_PARMS *a, unsigned char c) { (void)a; (void)c; }
 void erase_numinput_txt(void) {}
 char lir_inb(int port) { (void)port; return 0; }

@@ -419,3 +419,79 @@ def test_am_fm_audio_parity_vs_reference(mode, jnp):
 
     assert snr_ref > 20.0, snr_ref          # the reference is receiving
     assert snr_ours > snr_ref - 1.5, (snr_ours, snr_ref)
+
+
+def test_final_audio_daout_parity_vs_reference(jnp):
+    """The LAST audio stage end-to-end: the reference's rx_output
+    (make_audio_signal rxout.c:970-1639 — squelch, Lagrange fractional
+    resampling to DA_OUTPUT_SPEED, AGC gain, BFO product, int16
+    conversion into daout) vs our demod + exact-rational audio
+    resampler, both at 48 kHz D/A rate on the same SSB signal."""
+    import dataclasses
+
+    from linrad_tpu.pipeline import Receiver
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ref_parity import _our_geo
+
+    rc = RefChain(ad_speed=96000, second_fft=0, sinpow=2)
+    geo, params = _our_geo(rc)
+    newp = geo.fft1_new_points
+    nsamp = newp * 240
+    t = np.arange(nsamp) / FS
+    f_true, df = 12000.0, 800.0
+    rng = np.random.default_rng(2)
+    iq = np.round(600 * np.exp(2j * np.pi * (f_true + df) * t)
+                  + 30 * (rng.standard_normal(nsamp)
+                          + 1j * rng.standard_normal(nsamp)))
+    rc.tune(FS / 2 + f_true)
+    ch = newp * 20
+    chunks = []
+    for k in range(nsamp // ch):
+        rc.feed_iq(iq[k * ch:(k + 1) * ch])
+        rc.run_wideband()
+        rc.run_narrowband()
+        rc.run_output()
+        chunks.append(rc.consume_daout())   # the "soundcard" drains
+    audio_ref = np.concatenate(chunks)
+    fs_da = 48_000
+    assert len(audio_ref) > fs_da // 4          # D/A really flowing
+    # rate check: daout frames ~ baseband duration * 48k (the
+    # fractional resampler hits the configured DA speed)
+    fs_bb = rc.geof("baseband_sampling_speed")
+    dur_bb = rc.geo("baseb_pa") / fs_bb
+    assert abs(len(audio_ref) / fs_da - dur_bb) < 0.3 * dur_bb
+
+    sref, f_ref = _peak_and_snr(audio_ref[len(audio_ref) // 4:, 0],
+                                fs_da)
+    assert 100.0 < f_ref < 3000.0               # audible CW pitch
+
+    # match the reference's default SSB passband (the baseband SNR
+    # parity test established ours at +/-1200 Hz equals its default)
+    params = dataclasses.replace(params, agc_enable=True,
+                                 filter_low_hz=-1200.0,
+                                 filter_high_hz=1200.0)
+    rx = Receiver(params, audio_out_rate=float(fs_da))
+    rx.tune(f_true)
+    ours = []
+    for out in rx.run(iq[:, None].astype(np.complex64)):
+        ours.append(np.asarray(out.audio[:, 0]))
+    audio_ours = np.concatenate(ours)
+    assert abs(len(audio_ours) / fs_da - nsamp / FS) < 0.1 * nsamp / FS
+    sours, f_ours = _peak_and_snr(audio_ours[len(audio_ours) // 4:],
+                                  fs_da)
+    assert 100.0 < f_ours < 3000.0
+    # SNR parity at the speaker
+    assert sours > sref - 1.5, (sours, sref)
+
+
+def _peak_and_snr(x, fs):
+    x = np.asarray(x, np.float64)
+    x = x - x.mean()
+    w = np.hanning(len(x))
+    spec = np.abs(np.fft.rfft(x * w)) ** 2
+    fr = np.fft.rfftfreq(len(x), 1 / fs)
+    k = int(np.argmax(spec))
+    tone = spec[max(k - 6, 0): k + 7].sum()
+    return (10 * math.log10(tone / max(spec.sum() - tone, 1e-30)),
+            float(fr[k]))
