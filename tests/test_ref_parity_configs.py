@@ -495,3 +495,79 @@ def _peak_and_snr(x, fs):
     tone = spec[max(k - 6, 0): k + 7].sum()
     return (10 * math.log10(tone / max(spec.sum() - tone, 1e-30)),
             float(fr[k]))
+
+
+def test_agc_dynamics_parity_vs_reference(jnp):
+    """AGC behavioral parity (mix2.c:1517-1700 attack/release/hang +
+    the rx_output gain clamp rxout.c:1087-1105 vs ops/agc.py): on a
+    20 dB input amplitude step both chains must hold the speaker-level
+    output flat (full compression) with bounded attack overshoot."""
+    import dataclasses
+
+    from refharness import load
+    from linrad_tpu.pipeline import Receiver
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ref_parity import _our_geo
+
+    rc = RefChain(ad_speed=96000, second_fft=0, sinpow=2)
+    lib = load()
+    geo, params = _our_geo(rc)
+    newp = geo.fft1_new_points
+    nsamp = newp * 480
+    t = np.arange(nsamp) / FS
+    f_true, df = 12000.0, 800.0
+    amp = np.where((t > 1.0) & (t < 2.0), 4000.0, 400.0)
+    rng = np.random.default_rng(3)
+    iq = np.round(amp * np.exp(2j * np.pi * (f_true + df) * t)
+                  + 10 * (rng.standard_normal(nsamp)
+                          + 1j * rng.standard_normal(nsamp)))
+    rc.tune(FS / 2 + f_true)
+    rc.set_bg("agc_flag", 1)
+    rc.set_bg("agc_attack", 2)
+    rc.set_bg("agc_release", 3)
+    rc.set_bg("agc_hang", 2)
+    lib.clear_agc.restype = None
+    lib.clear_agc()          # recompute the factors (baseb_graph.c:420)
+    ch = newp * 20
+    outs = []
+    for k in range(nsamp // ch):
+        rc.feed_iq(iq[k * ch:(k + 1) * ch])
+        rc.run_wideband()
+        rc.run_narrowband()
+        rc.run_output()
+        outs.append(rc.consume_daout())
+    audio_ref = np.concatenate(outs)[:, 0].astype(np.float64)
+    fs_da = 48_000
+
+    def env_db(x, fs, win=0.05):
+        n = int(win * fs)
+        e = np.sqrt(np.convolve(x ** 2, np.ones(n) / n, mode="same")
+                    + 1e-12)
+        return 20 * np.log10(e + 1e-9)
+
+    def seg(e, fs, a, b):
+        return float(np.median(e[int(a * fs):int(b * fs)]))
+
+    params = dataclasses.replace(params, agc_enable=True,
+                                 filter_low_hz=-1200.0,
+                                 filter_high_hz=1200.0,
+                                 agc_attack_ms=2.0, agc_release_ms=250.0)
+    rx = Receiver(params, audio_out_rate=float(fs_da))
+    rx.tune(f_true)
+    audio_ours = np.concatenate(
+        [np.asarray(o.audio[:, 0])
+         for o in rx.run(iq[:, None].astype(np.complex64))]
+    ).astype(np.float64)
+
+    for name, audio in (("ref", audio_ref), ("ours", audio_ours)):
+        e = env_db(audio, fs_da)
+        q1 = seg(e, fs_da, 0.3, 0.9)
+        loud = seg(e, fs_da, 1.2, 1.9)
+        # full compression of the 20 dB step
+        assert abs(loud - q1) < 1.0, (name, q1, loud)
+        # bounded attack overshoot right after the step
+        atk = e[int(1.0 * fs_da): int(1.1 * fs_da)].max()
+        assert atk < loud + 6.0, (name, atk, loud)
+        # signal present
+        assert q1 > e.min() - 1e9 and np.isfinite(q1)
