@@ -31,7 +31,7 @@ import numpy as np
 
 from ..io.wav import read_wav
 from ..ops.resample import Resampler
-from .modulate import ssb_modulate
+from .modulate import StreamingSSB
 from .ssbproc import SSBProcessor
 
 
@@ -210,10 +210,12 @@ class SsbTxStreamer:
         self.txout = self.delay.add(StageBuffer("txout", fs_da))
         self._mic_buf = np.zeros(0, np.float32)
         self._out_ring: list[np.ndarray] = []
+        self._ssb = StreamingSSB(block, usb=usb)
         # the speech processor permanently holds half a block of sin^2
-        # overlap tail (report it as buffered data like tx_ssb_buftim's
+        # overlap tail, and the streaming Hilbert modulator another half
+        # block (report both as buffered data like tx_ssb_buftim's
         # micfft/cliptimf terms, tx.c:548-600)
-        self.spproc.written += block // 2
+        self.spproc.written += block // 2 + self._ssb.delay_samples
 
     def push_mic(self, audio: np.ndarray) -> None:
         """Mic samples arrive (the PortAudio input callback side)."""
@@ -229,7 +231,7 @@ class SsbTxStreamer:
             self.mic.read += self.block
             self.spproc.written += self.block
             audio = self.proc.process(x)
-            iq = ssb_modulate(audio, self.fs_ad, usb=self.usb)
+            iq = self._ssb.process(audio)
             self.spproc.read += self.block
             self._rs_state, out = self.resampler(
                 self._rs_state, iq[:, None].astype(np.complex64))

@@ -99,9 +99,10 @@ def test_ssb_streamer_delay_and_spectrum():
     mic = np.sin(2 * np.pi * 700.0 / fs_ad * t).astype(np.float32)
 
     tx.push_mic(mic[: 3 * 1024])
-    # 3 blocks buffered and unprocessed: delay = mic occupancy + tail
+    # 3 blocks buffered and unprocessed: delay = mic occupancy +
+    # processor tail + streaming-Hilbert half block
     d0 = tx.total_delay()
-    assert d0 == pytest.approx(3 * 1024 / fs_ad + 512 / fs_ad)
+    assert d0 == pytest.approx(3 * 1024 / fs_ad + 1024 / fs_ad)
 
     tx.pump()
     # mic drained into the output ring at the DA rate (4x as many
@@ -109,12 +110,12 @@ def test_ssb_streamer_delay_and_spectrum():
     assert tx.mic.occupancy == 0
     assert tx.txout.occupancy == 3 * 4096
     assert tx.total_delay() == pytest.approx(
-        3 * 4096 / fs_da + 512 / fs_ad)
+        3 * 4096 / fs_da + 1024 / fs_ad)
 
     blocks = []
     while (b := tx.pop_dac()) is not None:
         blocks.append(b)
-    assert tx.total_delay() == pytest.approx(512 / fs_ad)
+    assert tx.total_delay() == pytest.approx(1024 / fs_ad)
     out = np.concatenate(blocks)
     assert len(out) == 3 * 4096
 
