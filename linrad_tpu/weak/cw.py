@@ -553,3 +553,111 @@ def coherent_integrate(baseband: np.ndarray, fs: float, dot_s: float,
     n = len(z) // n_dot
     segs = np.real(z[: n * n_dot]).reshape(n, n_dot)
     return segs.mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# repeated-message stacking (the QRSS / EME deep-integration regime)
+# ---------------------------------------------------------------------------
+
+def estimate_repeat_period(envelope: np.ndarray, fs: float,
+                           min_s: float = 2.0,
+                           max_s: float | None = None) -> float:
+    """Repetition period of a repeated keyed message from the envelope
+    autocorrelation (the operator's 'same message every N seconds'
+    knowledge, automated).  Returns the period in seconds."""
+    e = np.asarray(envelope, np.float64)
+    e = e - e.mean()
+    n = len(e)
+    size = 1 << int(np.ceil(np.log2(2 * n)))
+    ac = np.fft.irfft(np.abs(np.fft.rfft(e, size)) ** 2)[:n]
+    lo = int(min_s * fs)
+    hi = int((max_s or (n / 2 / fs)) * fs)
+    hi = min(hi, n - 1)
+    if hi <= lo:
+        raise ValueError("recording shorter than two repeat periods")
+    k = lo + int(np.argmax(ac[lo:hi]))
+    # harmonic correction: if an integer sub-multiple of the peak lag is
+    # nearly as strong, the true period is the sub-multiple (the
+    # autocorrelation of a repeated message peaks at every multiple)
+    for div in (4, 3, 2):
+        ks = k // div
+        if ks >= lo and ac[ks] > 0.7 * ac[k]:
+            k = ks
+            break
+    return k / fs
+
+
+def refine_repeat_period(baseband: np.ndarray, fs: float,
+                         period_s: float, search: int = 120) -> float:
+    """Sample-accurate repeat period for long coherent stacks: the
+    envelope autocorrelation peak is tens of samples broad, and a
+    40-sample error smears a 24-repeat coherent stack by a whole dot.
+    Search +/-``search`` samples around the estimate for the period
+    that maximises the coherent stack's power."""
+    z = np.asarray(baseband)
+    p0 = int(round(period_s * fs))
+    best_p, best_s = p0, -1.0
+    for p in range(max(p0 - search, 16), p0 + search + 1):
+        reps = len(z) // p
+        if reps < 2:
+            continue
+        st = z[: reps * p].reshape(reps, p).mean(axis=0)
+        score = float(np.mean(np.abs(st) ** 2))
+        if score > best_s:
+            best_s, best_p = score, p
+    return best_p / fs
+
+
+def stack_repeats(baseband: np.ndarray, fs: float, period_s: float,
+                  coherent: bool = False) -> np.ndarray:
+    """Average repeats of a period-``period_s`` message.
+
+    Incoherent (default): average of per-repeat POWER envelopes — the
+    QRSS deep-integration regime (z_MORSE_DECODING.txt; the reference
+    reads such signals off multi-minute waterfall averages).  Gains
+    ~5·log10(N) dB of envelope SNR per N repeats without any carrier
+    phase requirement.
+
+    Coherent: complex mean across repeats (requires the AFC-locked
+    carrier to stay phase-stable over the whole recording; 10·log10(N)
+    when it does).  Returns one period: envelope power (incoherent) or
+    complex baseband (coherent).
+    """
+    z = np.asarray(baseband)
+    per = int(round(period_s * fs))
+    reps = len(z) // per
+    if reps < 2:
+        raise ValueError("need at least two repeats to stack")
+    blocks = z[: reps * per].reshape(reps, per)
+    if coherent:
+        return blocks.mean(axis=0)
+    return (np.abs(blocks) ** 2).mean(axis=0)
+
+
+def decode_stacked(baseband: np.ndarray, fs: float, period_s: float,
+                   wpm_hint: float = 0.0,
+                   coherent: bool = False) -> "DecodeResult":
+    """Decode a repeated message from its stack and run the Viterbi
+    grammar decoder on the result.
+
+    Incoherent (default): average of per-repeat power envelopes with
+    the noise pedestal subtracted — ~5·log10(N) dB of gain, no phase
+    requirement.  Coherent: complex mean (10·log10(N) dB when the
+    AFC-locked carrier is phase-stable across the recording — the EME
+    coherent-averaging regime, z_MORSE_DECODING.txt / coherent.c)."""
+    if coherent:
+        amp = np.abs(stack_repeats(baseband, fs, period_s,
+                                   coherent=True))
+    else:
+        pwr = stack_repeats(baseband, fs, period_s, coherent=False)
+        # the incoherent stack carries the mean noise power as a
+        # pedestal; subtract the space-level estimate so mark/space
+        # contrast survives (the reference's waterfall reading does the
+        # same via its noise floor normalisation)
+        pedestal = float(np.percentile(pwr, 30.0))
+        amp = np.sqrt(np.maximum(pwr - pedestal, 0.0))
+    # tile twice so a message not aligned to the period boundary is
+    # still contiguous somewhere; the decoder's word gaps absorb the
+    # duplicate
+    return decode_morse_ml(np.concatenate([amp, amp]), fs,
+                           wpm_hint=wpm_hint)

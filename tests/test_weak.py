@@ -533,3 +533,80 @@ class TestWeakSignalQualification:
 
     def test_decodes_at_0db_second_seed(self):
         assert self._run_chain_decode(0.0, 1001) == self.MSG
+
+
+class TestStackedDecode:
+    """Repeated-message stacking (the QRSS/EME deep-integration regime,
+    z_MORSE_DECODING.txt): decoding BELOW the -6 dB single-pass
+    collapse by averaging message repeats (docs/WEAK_SIGNAL.md)."""
+
+    FS = 4000.0
+    TEXT = "CQ DE SM5BSZ"
+
+    def _recording(self, reps, snr_db, seed=4):
+        from linrad_tpu.weak.cw import keyed_cw
+        sig = keyed_cw(self.TEXT, self.FS, 15.0, tone_hz=0.0)
+        period = int(len(sig) + 2.0 * self.FS)
+        one = np.zeros(period, np.complex64)
+        one[:len(sig)] = sig
+        z = np.tile(one, reps)
+        rng = np.random.default_rng(seed)
+        sigma = np.sqrt(10 ** (-snr_db / 10) / 2500.0 * self.FS / 2)
+        return (z + sigma * (rng.standard_normal(len(z))
+                             + 1j * rng.standard_normal(len(z))),
+                period / self.FS)
+
+    def test_blind_coherent_stack_at_minus_12db(self):
+        """8 dB below the single-pass threshold, period found blind."""
+        from linrad_tpu.weak.cw import (decode_stacked,
+                                        estimate_repeat_period,
+                                        refine_repeat_period,
+                                        smooth_envelope)
+        z, true_p = self._recording(24, -12)
+        p = estimate_repeat_period(
+            smooth_envelope(np.abs(z), self.FS, 30.0), self.FS,
+            min_s=3.0)
+        p = refine_repeat_period(z, self.FS, p)
+        assert abs(p - true_p) < 0.002
+        r = decode_stacked(z, self.FS, p, wpm_hint=15.0, coherent=True)
+        assert self.TEXT in r.text
+
+    def test_known_period_coherent_stack_at_minus_14db(self):
+        """The operator-knows-the-cadence regime (standard EME)."""
+        from linrad_tpu.weak.cw import decode_stacked, refine_repeat_period
+        z, true_p = self._recording(32, -14)
+        p = refine_repeat_period(z, self.FS, true_p, search=30)
+        r = decode_stacked(z, self.FS, p, wpm_hint=15.0, coherent=True)
+        assert self.TEXT in r.text
+
+    def test_incoherent_stack_helps_without_phase(self):
+        """Phase-scrambled repeats (no coherence available): the
+        incoherent power stack still lifts a -8 dB signal to a mostly
+        readable decode while the single pass is pure noise."""
+        from linrad_tpu.weak.cw import (decode_morse_ml, decode_stacked,
+                                        refine_repeat_period)
+        z, true_p = self._recording(16, -8)
+        # scramble the phase per repeat
+        per = int(true_p * self.FS)
+        rng = np.random.default_rng(7)
+        blocks = z[: 16 * per].reshape(16, per).copy()
+        blocks *= np.exp(2j * np.pi * rng.random(16))[:, None]
+        z = blocks.reshape(-1)
+        single = decode_morse_ml(z, self.FS, wpm_hint=15.0)
+        stacked = decode_stacked(z, self.FS,
+                                 refine_repeat_period(z, self.FS, true_p,
+                                                      search=30),
+                                 wpm_hint=15.0)
+
+        def edit(a, b):
+            import difflib
+            return 1.0 - difflib.SequenceMatcher(None, a, b).ratio()
+
+        # decode the best-aligned half of the doubled output
+        best = min(edit(self.TEXT, stacked.text[i:i + len(self.TEXT)])
+                   for i in range(max(len(stacked.text)
+                                      - len(self.TEXT) + 1, 1)))
+        worst_single = edit(self.TEXT,
+                            single.text[:len(self.TEXT)])
+        assert best < 0.35, (stacked.text, best)
+        assert best < worst_single, (single.text, stacked.text)
