@@ -866,3 +866,70 @@ def test_clever_blanker_two_channel_pulse_vs_reference(jnp):
             assert maxrel_b < 1e-5, (ch, maxrel_b)
     finally:
         lib.ref_set_pretend_calamp(0)
+
+
+def test_timf2_real_input_bounded_vs_reference(jnp):
+    """Real (non-IQ) input wideband: the reference's real-mode back
+    transform vs our rfft-fold + N-point inverse.  The narrowband path
+    from the same spectra is sample-exact (test_ref_parity_configs), but
+    the full-band timf2 reconstruction differs at the -32 dB level
+    (band-edge bin handling of the real fold); pinned as a bound with
+    the dominant component verified: best-fit conj relation at a
+    constant lag, max relative error < 4 %."""
+    import dataclasses
+
+    from refharness import load
+    from linrad_tpu.geometry import derive_geometry
+    from linrad_tpu.params import InputMode
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.timf2 import (Timf2State, make_timf2_syn,
+                                      timf2_step)
+
+    rc = RefChain(ad_speed=96000, second_fft=1, sinpow=2, input_mode=0,
+                  rf_channels=1)
+    rc.set_liminfo_auto(False)
+    rc.set_hg("clever_bln_mode", 0)
+    rc.set_hg("stupid_bln_mode", 0)
+    lib = load()
+    _g, params = _wide_geo(rc)
+    params = dataclasses.replace(params, input_mode=InputMode.REAL)
+    geo = derive_geometry(params)
+    newp = geo.fft1_new_points
+    rng = np.random.default_rng(3)
+    nsamp = 2 * newp * 64
+    x = np.round(3000 * rng.standard_normal(nsamp)).astype(np.float32)
+    words = x.astype(np.int16)
+    chsz = 2 * newp * 16
+    for k in range(len(words) // chsz):
+        flat = np.ascontiguousarray(words[k * chsz:(k + 1) * chsz])
+        lib.ref_feed(flat, flat.size)
+        rc.run_wideband()
+    pts = rc.geo("timf2_pa") // 4
+    ref = rc.timf2_stream(pts)[:, 0, 0]
+
+    t1 = FFT1Tables.create(geo)
+    s1 = FFT1State.create(geo)
+    syn = make_timf2_syn(geo)
+    st2 = Timf2State.create(geo)
+    wg = jnp.ones(geo.fft1_size, jnp.float32)
+    sg = jnp.zeros(geo.fft1_size, jnp.float32)
+    spp2 = 2 * geo.samples_per_step
+    weak_all = []
+    for s in range(len(x) // spp2):
+        blk = jnp.asarray(x[s * spp2:(s + 1) * spp2][:, None])
+        s1, spec, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
+        st2, weak, strong, wpwr = timf2_step(geo, syn, st2, spec, wg, sg)
+        weak_all.append(np.asarray(weak[:, 0]))
+    ours = np.concatenate(weak_all)
+    m = min(len(ours), pts)
+    a = np.conj(ours[:m])
+    lag = 512            # one fft1 hop of group-delay offset
+    aa, bb = a[3000:m - lag], ref[3000 + lag:m]
+    k2 = min(len(aa), len(bb))
+    aa, bb = aa[:k2], bb[:k2]
+    sc = np.vdot(aa, bb) / np.vdot(aa, aa)
+    err = np.abs(bb - sc * aa)
+    maxrel = err.max() / np.abs(bb).max()
+    assert maxrel < 0.04, maxrel
+    rms = float(np.sqrt((err ** 2).mean() / (np.abs(bb) ** 2).mean()))
+    assert rms < 0.05, rms
