@@ -141,6 +141,9 @@ class TxStreamer:
                  pilot_level: float = 0.0):
         if ring_blocks & (ring_blocks - 1):
             raise ValueError("ring_blocks must be a power of two")
+        if ring_blocks < 4:
+            raise ValueError("ring_blocks must be >= 4 (the reference "
+                             "primes bufsize-2*blksize, tx.c:392-398)")
         self.source = source
         self.fs = fs
         self.block = block

@@ -103,3 +103,58 @@ class TestResampler:
     def test_downsample(self):
         r = Resampler(12000, 4000, block_in=1200, channels=1)
         assert r.block_out == 400
+
+
+class TestSincResampler:
+    def test_downsample_rejects_aliases(self):
+        import jax.numpy as jnp
+        from linrad_tpu.ops.resample import Resampler
+        fs_in, fs_out = 48_000.0, 12_000.0
+        n = 48_000
+        t = np.arange(n) / fs_in
+        # in-band tone + out-of-band tone that would alias to 1000 Hz
+        x = (np.sin(2 * np.pi * 2000.0 * t)
+             + np.sin(2 * np.pi * (fs_out + 1000.0) * t)).astype(
+                 np.float32)
+        r = Resampler(fs_in, fs_out, block_in=n, channels=1, taps=32)
+        _, y = r(r.init_state(), jnp.asarray(x[:, None]))
+        y = np.asarray(y)[:, 0][1000:]
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y)))) ** 2
+        fr = np.fft.rfftfreq(len(y), 1 / fs_out)
+        k2 = np.argmin(np.abs(fr - 2000.0))
+        k1 = np.argmin(np.abs(fr - 1000.0))
+        # wanted tone survives; the alias is rejected > 60 dB
+        assert spec[k2] > 1e6 * spec[k1]
+
+    def test_sinc_upsample_images_rejected(self):
+        import jax.numpy as jnp
+        from linrad_tpu.ops.resample import Resampler
+        fs_in, fs_out = 6_000.0, 48_000.0
+        n = 6_000
+        t = np.arange(n) / fs_in
+        x = np.sin(2 * np.pi * 1600.0 * t).astype(np.float32)
+        r = Resampler(fs_in, fs_out, block_in=n, channels=1, taps=32)
+        _, y = r(r.init_state(), jnp.asarray(x[:, None]))
+        y = np.asarray(y)[:, 0][2000:]
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y)))) ** 2
+        fr = np.fft.rfftfreq(len(y), 1 / fs_out)
+        k = np.argmin(np.abs(fr - 1600.0))
+        worst = max(spec[np.argmin(np.abs(fr - f))]
+                    for f in (4400.0, 7600.0, 10400.0))
+        assert spec[k] > 1e7 * worst        # > 70 dB
+
+    def test_sinc_block_split_invariance(self):
+        import jax.numpy as jnp
+        from linrad_tpu.ops.resample import Resampler
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(4096).astype(np.float32)
+        r = Resampler(8000.0, 32_000.0, block_in=2048, channels=1,
+                      taps=32)
+        st = r.init_state()
+        st, y1 = r(st, jnp.asarray(x[:2048, None]))
+        st, y2 = r(st, jnp.asarray(x[2048:, None]))
+        split = np.concatenate([np.asarray(y1), np.asarray(y2)])[:, 0]
+        r2 = Resampler(8000.0, 32_000.0, block_in=4096, channels=1,
+                       taps=32)
+        _, yf = r2(r2.init_state(), jnp.asarray(x[:, None]))
+        np.testing.assert_array_equal(split, np.asarray(yf)[:, 0])

@@ -128,3 +128,11 @@ def test_ssb_streamer_delay_and_spectrum():
     kp = np.argmin(np.abs(freqs - 700.0))
     km = np.argmin(np.abs(freqs + 700.0))
     assert spec[kp] > 30 * spec[km]
+
+
+def test_streamer_rejects_tiny_ring(iq_wav):
+    path, _ = iq_wav
+    with pytest.raises(ValueError):
+        TxStreamer(WavTxSource(path), fs=FS, block=BLOCK, ring_blocks=2)
+    with pytest.raises(ValueError):
+        TxStreamer(WavTxSource(path), fs=FS, block=BLOCK, ring_blocks=6)
