@@ -123,6 +123,7 @@ class RadarTracker:
     n_bins: int
     frame_time_s: float
     params: RadarParams = field(default_factory=RadarParams)
+    bin_hz: float = 0.0           # fft1 bin bandwidth, for doppler readout
 
     locked: bool = False
     pulse_sep: int = 0            # transforms between pulses
@@ -302,6 +303,34 @@ class RadarTracker:
         if self._avg is None:
             return np.zeros(0, np.float32)
         return self.average[:, self.pulse_bin - self.first_bin]
+
+    def echo_peak(self, tx_guard_lines: int = 4
+                  ) -> tuple[int, int, float | None]:
+        """Strongest display cell outside the TX pulse's own rows: the
+        echo's (line, bin_offset_from_tx, doppler_hz).  EME echoes are
+        doppler-shifted, so the echo appears offset in frequency as well
+        as delayed — the radar display is a range x frequency matrix
+        (update_radar_average accumulates all bins, radar.c:108-117).
+        doppler_hz is None unless ``bin_hz`` was given at construction.
+        """
+        avg = self.average
+        if avg.size == 0:
+            return (0, 0, None)
+        prof = avg.sum(axis=1)
+        tx_line = int(np.argmax(prof > 0.5 * prof.max()))
+        masked = avg.copy()
+        for p0 in range(tx_line, self.lines,
+                        max(self.pulse_sep, 1)):
+            lo = max(p0 - tx_guard_lines, 0)
+            masked[lo: p0 + tx_guard_lines + 1] = 0.0
+        line, b = np.unravel_index(int(np.argmax(masked)), masked.shape)
+        off = int(b) - (self.pulse_bin - self.first_bin)
+        dopp = off * self.bin_hz if self.bin_hz else None
+        # the display spans more than one pulse period, so the same echo
+        # repeats after every TX row; report the delay modulo the PRF
+        # (the usual radar range ambiguity)
+        dl = (int(line) - tx_line) % max(self.pulse_sep, 1)
+        return (dl, off, dopp)
 
     def line_to_range_m(self, line_offset: int) -> float:
         """Convert a line offset from the TX pulse into one-way-ish

@@ -176,3 +176,46 @@ def test_radar_history_stays_bounded():
     keep = max(4 * tracker.pulse_sep + tracker.lines + 64,
                tracker.params.lock_after + 64)
     assert buffered <= keep + 32 * 2   # within one step of the bound
+
+
+def test_radar_doppler_shifted_echo():
+    """EME regime: the echo comes back doppler-shifted; echo_peak reads
+    (range line, frequency offset, doppler Hz) off the display."""
+    geo, _ = _geometry()
+    stride = geo.fft1_new_points
+    n_steps = 26
+    n = n_steps * geo.samples_per_step
+    period = PULSE_SEP_FRAMES * stride
+    width = PULSE_WIDTH_FRAMES * stride
+    delay = ECHO_DELAY_FRAMES * stride
+    dopp_bins = 5
+    rng = np.random.default_rng(9)
+    env = radar_pulse_train(FS, FS / period, width / FS, n / FS,
+                            rise_s=0.0002)[:n]
+    t = np.arange(n)
+    tx = env * np.exp(2j * np.pi * TX_BIN / geo.fft1_size * t)
+    echo = np.zeros(n, np.complex128)
+    ec = env * np.exp(2j * np.pi * (TX_BIN + dopp_bins)
+                      / geo.fft1_size * t)
+    echo[delay:] = 0.05 * ec[:-delay]
+    nz = 1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    nz *= np.where(env > 0.01, 0.01, 1.0)
+    iq = (tx + echo + nz).astype(np.complex64)
+
+    tables = FFT1Tables.create(geo, edge_taper=False)
+    state = FFT1State.create(geo)
+    bin_hz = FS / geo.fft1_size
+    tracker = RadarTracker(
+        n_bins=geo.fft1_size, frame_time_s=geo.fft1_new_points / FS,
+        bin_hz=bin_hz, params=RadarParams(time=2.0, lock_after=500))
+    for s in range(n_steps):
+        blk = jnp.asarray(
+            iq[s * geo.samples_per_step:(s + 1) * geo.samples_per_step,
+               None])
+        state, spec, _ = fft1_step(geo, tables, state, blk, avg1num=64)
+        tracker.feed(np.abs(np.asarray(spec)) ** 2)
+    assert tracker.locked and tracker.pulse_bin == TX_BIN
+    line, off, dopp = tracker.echo_peak()
+    assert abs(line - ECHO_DELAY_FRAMES) <= 1
+    assert off == dopp_bins
+    assert dopp == pytest.approx(dopp_bins * bin_hz)
