@@ -25,7 +25,6 @@ the DSP thread calls :meth:`WebGui.__call__`, server threads read.
 
 from __future__ import annotations
 
-import io
 import json
 import queue
 import struct

@@ -12,8 +12,6 @@ delayed signal path + hang list).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 

@@ -9,8 +9,6 @@ width instead of a sample loop.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

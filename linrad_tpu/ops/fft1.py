@@ -12,8 +12,6 @@ step at once, which XLA tiles over the MXU/VPU.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

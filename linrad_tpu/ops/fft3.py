@@ -10,8 +10,6 @@ demod) and the baseband spectrum/waterfall taps.  Squelch statistics
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

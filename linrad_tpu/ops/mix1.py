@@ -20,8 +20,6 @@ mix1.c:648) is the same code with a per-frame array of centre bins.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

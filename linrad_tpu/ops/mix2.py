@@ -14,8 +14,6 @@ mix2.c:246-262) feeds coherent demodulation in :mod:`demod`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry import Geometry
 from ..utils.pytree import pytree_dataclass
