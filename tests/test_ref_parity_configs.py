@@ -111,10 +111,12 @@ def _fit_best_lag(ours: np.ndarray, ref: np.ndarray, skip: int):
     return err.max() / np.abs(bb).max(), lag
 
 
-@pytest.mark.parametrize("sinpow", [1, 3, 4])
+@pytest.mark.parametrize("sinpow", [1, 3, 4, 8, 9])
 def test_mix1_timf3_exact_other_sinpow(sinpow, jnp):
     """General-overlap OLA (mix1.c:196-280 crossover branch) is
-    sample-exact vs the reference for sin^1/sin^3/sin^4 windows.
+    sample-exact vs the reference for sin^1/sin^3/sin^4 windows and the
+    special-cased Gaussian (sinpow 8) and erfc (sinpow 9) windows
+    (make_interleave_ratio buf.c:113-137, crossover size/16 and size/8).
     The lag absorbs the constant group-delay offset between the
     reference's crossover-region output start and our frame grid."""
     from linrad_tpu.geometry import derive_geometry
