@@ -573,3 +573,46 @@ def test_agc_dynamics_parity_vs_reference(jnp):
         assert atk < loud + 6.0, (name, atk, loud)
         # signal present
         assert q1 > e.min() - 1e9 and np.isfinite(q1)
+
+
+def test_mix1_timf3_exact_real_two_channels(jnp):
+    """2-channel real input (fft1 mode 1 "2 chan normal audio"):
+    sample-exact on both channels — completes all four input-mode
+    combinations (1/2 channels x IQ/real, buf.c:149 fft1mode)."""
+    from refharness import load
+    from linrad_tpu.geometry import derive_geometry
+    from linrad_tpu.params import InputMode
+
+    rc = RefChain(ad_speed=96000, second_fft=0, sinpow=2,
+                  input_mode=TWO_CHANNELS, rf_channels=2)
+    lib = load()
+    geo = derive_geometry(_our_params(rc, 2, channels=2,
+                                      input_mode=InputMode.REAL))
+    assert not geo.iq_input
+    assert geo.fft1_new_points == rc.geo("fft1_new_points")
+    newp = geo.fft1_new_points
+    rng = np.random.default_rng(42)
+    nsamp = 2 * geo.samples_per_step
+    x = np.round(4000 * rng.standard_normal((nsamp, 2))
+                 ).astype(np.float32)
+    rc.tune(12000.0)
+    words = np.clip(np.round(x), -32768, 32767).astype(
+        np.int16).reshape(-1)
+    chsz = 2 * newp * 16 * 2
+    for k in range(len(words) // chsz):
+        flat = np.ascontiguousarray(words[k * chsz:(k + 1) * chsz])
+        lib.ref_feed(flat, flat.size)
+        rc.run_wideband()
+        while lib.ref_step_mix1() == 1:
+            pass
+    pts = rc.array("timf3_float", rc.geo("timf3_pa")).copy().reshape(-1, 4)
+
+    tune_bin = int(round(12000.0 * 2 * geo.fft1_size / FS))
+    ours = _run_ours(geo, x, tune_bin, jnp)
+    for ch in range(2):
+        ref = (pts[:, 2 * ch] + 1j * pts[:, 2 * ch + 1]
+               ).astype(np.complex64)
+        maxrel, lag = _fit_best_lag(ours[:, ch], ref,
+                                    skip=4 * geo.mix1_new_points)
+        assert lag == 0
+        assert maxrel < 1e-5, (ch, maxrel)
