@@ -933,3 +933,74 @@ def test_timf2_real_input_bounded_vs_reference(jnp):
     assert maxrel < 0.04, maxrel
     rms = float(np.sqrt((err ** 2).mean() / (np.abs(bb) ** 2).mean()))
     assert rms < 0.05, rms
+
+
+def test_fft2_mix1_timf3_exact_vs_reference(jnp):
+    """The second-FFT narrowband tail: mix1 consuming the FFT2 stream
+    (fft2_mix1_fixed mix1.c:935-993 — the BASELINE config 3/4 tuning
+    path) is sample-exact vs the reference through
+    fft1 -> timf2 -> fft2 -> mix1 on broadband noise."""
+    from refharness import load
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.fft2 import FFT2State, FFT2Tables, fft2_step
+    from linrad_tpu.ops.mix1 import Mix1State, Mix1Tables, mix1_step
+    from linrad_tpu.ops.timf2 import (Timf2State, make_timf2_syn,
+                                      timf2_step)
+
+    rc = _wide_ref()
+    geo, _p = _wide_geo(rc)
+    lib = load()
+    newp = geo.fft1_new_points
+    rng = np.random.default_rng(6)
+    nsamp = geo.samples_per_step * 2
+    iq = np.round(3000 * (rng.standard_normal(nsamp)
+                          + 1j * rng.standard_normal(nsamp))
+                  ).astype(np.complex64)
+    f_true = 12000.0
+    rc.tune(FS / 2 + f_true)
+    ch = newp * 16
+    for k in range(nsamp // ch):
+        rc.feed_iq(iq[k * ch:(k + 1) * ch])
+        rc.run_wideband()
+        while lib.ref_step_mix1() == 1:
+            pass
+    pa = rc.geo("timf3_pa")
+    w = rc.array("timf3_float", pa).copy()
+    ref = (w[0::2] + 1j * w[1::2]).astype(np.complex64)
+
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    syn = make_timf2_syn(geo)
+    st2 = Timf2State.create(geo)
+    tf2, sf2 = FFT2Tables.create(geo), FFT2State.create(geo)
+    tm, sm = Mix1Tables.create(geo), Mix1State.create(geo)
+    wg = jnp.ones(geo.fft1_size, jnp.float32)
+    sg = jnp.zeros(geo.fft1_size, jnp.float32)
+    tune_bin = int(round(f_true * geo.fft2_size / FS))
+    spp = geo.samples_per_step
+    outs = []
+    for s in range(nsamp // spp):
+        blk = jnp.asarray(iq[s * spp:(s + 1) * spp, None])
+        s1, spec1, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
+        st2, weak, strong, wpwr = timf2_step(geo, syn, st2, spec1, wg, sg)
+        sf2, spec2, _ = fft2_step(geo, tf2, sf2, weak, strong)
+        sm, timf3 = mix1_step(geo, tm, sm, spec2, tune_bin)
+        outs.append(np.asarray(timf3[:, 0]))
+    ours = np.concatenate(outs)
+    m = min(len(ours), len(ref))
+    a, b = np.conj(ours[:m]), ref[:m]
+    size = 1 << int(np.ceil(np.log2(2 * m)))
+    corr = np.fft.ifft(np.fft.fft(b, size) * np.conj(np.fft.fft(a, size)))
+    lag = int(np.argmax(np.abs(corr)))
+    if lag > size // 2:
+        lag -= size
+    assert lag % (geo.mix1_new_points // 2) == 0, lag
+    skip = 4 * geo.mix1_new_points
+    if lag >= 0:
+        aa, bb = a[skip:m - lag], b[skip + lag:m]
+    else:
+        aa, bb = a[skip - lag:m], b[skip:m + lag]
+    k2 = min(len(aa), len(bb))
+    aa, bb = aa[:k2], bb[:k2]
+    sc = np.vdot(aa, bb) / np.vdot(aa, aa)
+    err = np.abs(bb - sc * aa)
+    assert err.max() / np.abs(bb).max() < 1e-5
