@@ -1004,3 +1004,78 @@ def test_fft2_mix1_timf3_exact_vs_reference(jnp):
     sc = np.vdot(aa, bb) / np.vdot(aa, aa)
     err = np.abs(bb - sc * aa)
     assert err.max() / np.abs(bb).max() < 1e-5
+
+
+def test_liminfo_classification_two_channels(jnp):
+    """2-channel selective limiter: liminfo classifies on the CHANNEL-
+    SUMMED per-bin power (fft1_sumsq accumulates both channels,
+    fft1.c:4085; sellim.c:792 thresholds the sum), with the limit
+    carrying the channel count (sellim.c:769-773 'one channel out of
+    four').  Strong signals on DIFFERENT channels must both classify.
+    Marginal skirt-edge bins at the 0.3-ratio crossing may flip with
+    float accumulation order; at most 2 such edge bins may differ."""
+    import dataclasses
+
+    from refharness import IQ_DATA, TWO_CHANNELS
+    from linrad_tpu.geometry import derive_geometry
+    from linrad_tpu.ops.fft1 import FFT1State, FFT1Tables, fft1_step
+    from linrad_tpu.ops.sellim import (SellimState, sellim_limit,
+                                       update_liminfo)
+
+    rc = RefChain(ad_speed=96000, second_fft=1, sinpow=2, rf_channels=2,
+                  input_mode=IQ_DATA + TWO_CHANNELS)
+    rc.set_liminfo_auto(False)
+    rc.set_hg("clever_bln_mode", 0)
+    rc.set_hg("stupid_bln_mode", 0)
+    _g, params = _wide_geo(rc)
+    params = dataclasses.replace(params, rx_rf_channels=2)
+    geo = derive_geometry(params)
+    n = geo.fft1_size
+    newp = geo.fft1_new_points
+    k = 16
+    rc.set_wg("fft_avg1num", 1000)
+    rc.set_wg("spek_avgnum", 1e9)
+    m_ref = 10000.0
+    rc.set_genparm(10, int(m_ref))
+
+    rng = np.random.default_rng(21)
+    t = np.arange(k * newp) / FS
+    iq = np.zeros((k * newp, 2), np.complex128)
+    iq[:, 0] = (6000.0 * np.exp(2j * np.pi * 12000.0 * t)
+                + 30.0 * (rng.standard_normal(len(t))
+                          + 1j * rng.standard_normal(len(t))))
+    iq[:, 1] = (2500.0 * np.exp(2j * np.pi * 31171.875 * t)
+                + 30.0 * (rng.standard_normal(len(t))
+                          + 1j * rng.standard_normal(len(t))))
+    iq = np.round(iq)
+    rc.feed_iq(iq)
+    assert rc.run_wideband() == k
+    rc.update_liminfo()
+    lim_ref = rc.array("liminfo", 2 * n)[:n].copy()
+
+    t1, s1 = FFT1Tables.create(geo), FFT1State.create(geo)
+    _, spec, _ = fft1_step(geo, t1, s1,
+                           jnp.asarray(iq.astype(np.complex64)),
+                           avg1num=8)
+    avg_p = np.mean(np.sum(np.abs(np.asarray(spec)) ** 2, axis=2),
+                    axis=0)
+    fcs, c_win = 0.137449, 1.6319311
+    l_ref = m_ref ** 2 * 1000.0 * 2 * n / geo.fft2_size
+    l_ours = l_ref / (k * (fcs * c_win) ** 2)
+    maxlevel_eq = np.sqrt(l_ours / sellim_limit(geo, 1.0))
+    st = update_liminfo(geo, SellimState.create(geo),
+                        jnp.asarray(avg_p, jnp.float32),
+                        float(maxlevel_eq), ston=1e9)
+    ours = np.asarray(st.liminfo)
+
+    ref_strong = set(np.flatnonzero(np.fft.fftshift(lim_ref)
+                                    != 0).tolist())
+    our_strong = set(np.flatnonzero(ours != 0).tolist())
+    # both signals classified (one per channel)
+    assert any(250 <= b <= 263 for b in our_strong)
+    assert any(658 <= b <= 672 for b in our_strong)
+    diff = ref_strong ^ our_strong
+    assert len(diff) <= 2, sorted(diff)
+    agreed = ref_strong & our_strong
+    for b in diff:                      # only skirt edges may differ
+        assert (b - 1 in agreed) or (b + 1 in agreed), sorted(diff)
