@@ -109,3 +109,63 @@ def test_params_version_and_compat():
     del d["blanker_rounds"]             # older build lacks a new field
     q = RxParams.from_json(json.dumps(d))
     assert q.blanker_rounds == RxParams().blanker_rounds
+
+
+def test_geometry_fuzz_divisibility_and_chain():
+    """Randomized parameter sweep: every derivable geometry must satisfy
+    the integer-divisibility invariants, and the full chain must compile
+    and run one step on it (the buf.c contract: get_wideband_sizes never
+    produces fractional per-step work)."""
+    import itertools
+    import numpy as np
+    import jax.numpy as jnp
+    from linrad_tpu.params import Demod, InputMode, RxParams
+    from linrad_tpu.geometry import derive_geometry
+
+    rng = np.random.default_rng(123)
+    combos = []
+    for _ in range(24):
+        combos.append(dict(
+            rx_ad_speed=int(rng.choice([48_000, 96_000, 192_000])),
+            first_fft_sinpow=int(rng.choice([1, 2, 3, 4, 8, 9])),
+            fft1_n_override=int(rng.choice([8, 9, 10])),
+            second_fft_enable=bool(rng.choice([False, True])),
+            second_fft_ninc=int(rng.choice([0, 1, 2])),
+            mix1_bandwidth_reduction_n=int(rng.choice([3, 4, 5])),
+            fft3_n=int(rng.choice([7, 8, 9])),
+            mix2_reduction_n=int(rng.choice([0, 1])),
+            input_mode=InputMode.IQ if rng.random() < 0.8
+            else InputMode.REAL,
+            rx_rf_channels=int(rng.choice([1, 2])),
+            target_fft1_frames_per_step=int(rng.choice([4, 8, 16])),
+        ))
+    ran_chain = 0
+    for kw in combos:
+        try:
+            geo = derive_geometry(RxParams(agc_enable=False, **kw))
+        except ValueError:
+            continue   # explicitly rejected combinations are fine
+        # divisibility invariants (buf.c:139 analog)
+        assert geo.samples_per_step % geo.fft1_new_points == 0
+        assert geo.fft1_frames_per_step \
+            == geo.samples_per_step // geo.fft1_new_points
+        if geo.second_fft_enable:
+            assert geo.samples_per_step % geo.fft2_new_points == 0
+        assert geo.baseband_samples_per_step > 0
+        # one tiny chain step must trace + run
+        if ran_chain < 6 and geo.samples_per_step <= 1 << 15 \
+                and geo.iq_input:
+            from linrad_tpu.pipeline.chain import (RxState, RxTables,
+                                                   make_rx_step)
+            from linrad_tpu.ops.blanker import BlankerTables
+            p = RxParams(agc_enable=False, **kw)
+            tables = RxTables.create(geo, p)
+            state = RxState.create(geo)
+            _, pw = BlankerTables.create(geo)
+            step = make_rx_step(geo, p, blanker_pulsewidth=pw)
+            blk = jnp.zeros((geo.samples_per_step, geo.channels),
+                            jnp.complex64)
+            _, out = step(tables, state, blk, jnp.int32(8))
+            assert np.all(np.isfinite(np.asarray(out.audio)))
+            ran_chain += 1
+    assert ran_chain >= 3   # the sweep really exercised the chain
