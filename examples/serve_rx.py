@@ -12,6 +12,7 @@ Generates a drifting CW signal by default; feed a .wav path as the
 second argument to serve a recording instead.
 """
 
+import os
 import sys
 import tempfile
 
@@ -55,8 +56,10 @@ def main(port: int = 8765, wav: str | None = None) -> None:
     wd = Watchdog(timeout_s=30.0)
     wd.start(lambda names: print(f"WATCHDOG: stalled {names}"))
     mon = RealTimeMonitor(rate_hz=geo.rx_ad_speed, headroom_s=2.0)
+    fd, smeter_path = tempfile.mkstemp(suffix=".smeter")
+    os.close(fd)
     smeter = SMeterLogger(
-        tempfile.mktemp(suffix=".smeter"),
+        smeter_path,
         step_seconds=geo.samples_per_step / geo.rx_ad_speed)
 
     steps = 0

@@ -114,6 +114,9 @@ def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
     complex64 at timf3_sampling_speed, amplitude-true (the analysis
     window and 1/N scaling are removed by the synthesis weights).
     """
+    if tune_slope is not None and tune_frac is None:
+        raise ValueError("tune_slope requires tune_frac (the slope "
+                         "linearises the fractional-bin ramp)")
     n, big_n, _c = spectra.shape
     m = geo.mix1_size
     hop = geo.fftx_new_points
@@ -146,27 +149,38 @@ def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
     timf3, carry = overlap_add(frames, geo.mix1_new_points, state.ola_carry)
     new_frac = state.frac_phase
     if tune_frac is not None:
-        # residual-frequency ramp on the OUTPUT stream: frac big-FFT
-        # bins == frac/m turns per timf3 sample (the OLA'd overlapping
-        # contributions share each output sample's phase, as in the
-        # reference's per-point multiply, mix1.c:141-234)
-        hop_m = geo.mix1_new_points
-        fr = jnp.broadcast_to(jnp.asarray(tune_frac, jnp.float32), (n,))
-        per_samp = jnp.repeat(fr / m, hop_m, total_repeat_length=n * hop_m)
-        if tune_slope is not None:
-            # linearise frequency within each frame: frac is the value
-            # at the frame MIDPOINT, slope the change per hop
-            sl = jnp.broadcast_to(jnp.asarray(tune_slope, jnp.float32),
-                                  (n,))
-            pos = (jnp.arange(hop_m, dtype=jnp.float32) + 0.5) / hop_m \
-                - 0.5                                 # (-0.5, 0.5)
-            per_samp = per_samp + jnp.repeat(
-                sl / m, hop_m, total_repeat_length=n * hop_m) \
-                * jnp.tile(pos, n)
-        cum = state.frac_phase + jnp.cumsum(per_samp) - per_samp
-        theta = (-2.0 * jnp.pi) * jnp.mod(cum, 1.0)
-        ramp = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        ramp, new_frac = frac_ramp(geo, state.frac_phase, tune_frac,
+                                   tune_slope, n)
         timf3 = timf3 * ramp[:, None]
-        new_frac = jnp.mod(state.frac_phase + jnp.sum(per_samp), 1.0)
     return Mix1State(phase_idx=new_phase, ola_carry=carry,
                      frac_phase=new_frac), timf3
+
+
+def frac_ramp(geo: Geometry, frac_phase: jax.Array, tune_frac: jax.Array,
+              tune_slope: jax.Array | None, n: int
+              ) -> tuple[jax.Array, jax.Array]:
+    """Residual-frequency ramp on the timf3 OUTPUT stream: frac big-FFT
+    bins == frac/m turns per timf3 sample (the OLA'd overlapping
+    contributions share each output sample's phase, as in the
+    reference's per-point multiply, mix1.c:141-234).  With tune_slope
+    the frequency is linearised within each frame: frac is the value at
+    the frame MIDPOINT, slope the change per hop.
+
+    Returns (complex64 ramp of length n*mix1_new_points, final phase in
+    turns)."""
+    m = geo.mix1_size
+    hop_m = geo.mix1_new_points
+    fr = jnp.broadcast_to(jnp.asarray(tune_frac, jnp.float32), (n,))
+    per_samp = jnp.repeat(fr / m, hop_m, total_repeat_length=n * hop_m)
+    if tune_slope is not None:
+        sl = jnp.broadcast_to(jnp.asarray(tune_slope, jnp.float32),
+                              (n,))
+        pos = (jnp.arange(hop_m, dtype=jnp.float32) + 0.5) / hop_m \
+            - 0.5                                     # (-0.5, 0.5)
+        per_samp = per_samp + jnp.repeat(
+            sl / m, hop_m, total_repeat_length=n * hop_m) \
+            * jnp.tile(pos, n)
+    cum = frac_phase + jnp.cumsum(per_samp) - per_samp
+    theta = (-2.0 * jnp.pi) * jnp.mod(cum, 1.0)
+    ramp = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    return ramp, jnp.mod(frac_phase + jnp.sum(per_samp), 1.0)

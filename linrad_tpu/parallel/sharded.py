@@ -267,12 +267,19 @@ def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
 
 def _sharded_mix1(geo: Geometry, tables: RxTables, state_mix1: Mix1State,
                   fftx_spec: jax.Array, tune_bin: jax.Array,
-                  per_frame_tune: bool, n_fftx_local: int
+                  per_frame_tune: bool, n_fftx_local: int,
+                  tune_frac: jax.Array | None = None,
+                  tune_slope: jax.Array | None = None
                   ) -> tuple[Mix1State, jax.Array]:
     """mix1 over sharded fftx frames: each shard runs the shared
     ``mix1_step`` from a phase offset equal to the wrapped sum of all
     earlier shards' increments, then the timf3 OLA carries chain into
     the right neighbour and the decimated stream is all_gathered.
+
+    tune_frac/tune_slope: (n_local,) frame-sharded coherent-AFC ramps
+    (mix1.c:648); each shard's fractional-phase origin is the exclusive
+    prefix of the per-shard frac advances (the slope term sums to zero
+    within every frame, so only frac contributes across shards).
 
     Returns (new_replicated_mix1_state, full_timf3)."""
     idx = jax.lax.axis_index(AXIS)
@@ -294,20 +301,39 @@ def _sharded_mix1(geo: Geometry, tables: RxTables, state_mix1: Mix1State,
         shard_phase = (state_mix1.phase_idx.astype(jnp.uint32)
                        + incr * (idx.astype(jnp.uint32)
                                  * jnp.uint32(n_fftx_local))) & mask
+    shard_frac = state_mix1.frac_phase
+    if tune_frac is not None:
+        # per-shard fractional-phase advance, in turns: each frame adds
+        # hop_m samples at frac/m turns per sample (mix1_step's ramp)
+        adv = jnp.sum(jnp.asarray(tune_frac, jnp.float32)) \
+            * (geo.mix1_new_points / geo.mix1_size)
+        advs = jax.lax.all_gather(adv, AXIS)              # (D,)
+        before_f = jnp.sum(jnp.where(
+            jnp.arange(advs.shape[0]) < idx, advs, 0.0))
+        shard_frac = jnp.mod(state_mix1.frac_phase + before_f, 1.0)
     local_state = Mix1State(
         phase_idx=shard_phase.astype(jnp.int32),
         ola_carry=jnp.zeros_like(state_mix1.ola_carry),
-        frac_phase=state_mix1.frac_phase)
+        frac_phase=shard_frac)
     m1, timf3_local = mix1_step(geo, tables.mix1, local_state,
-                                fftx_spec, tune_bin)
+                                fftx_spec, tune_bin,
+                                tune_frac=tune_frac,
+                                tune_slope=tune_slope)
     # OLA carry chain for timf3
     ov3 = geo.mix1_interleave_points
     incoming = _from_left(m1.ola_carry)
     head = jnp.where(idx == 0, state_mix1.ola_carry, incoming)
+    if tune_frac is not None:
+        # mix1_step ramps the OLA'd output; the neighbour's carry is
+        # raw, so apply this shard's output ramp to it before adding
+        from ..ops.mix1 import frac_ramp
+        ramp, _ = frac_ramp(geo, shard_frac, tune_frac, tune_slope,
+                            int(fftx_spec.shape[0]))
+        head = head * ramp[:ov3, None]
     timf3_local = timf3_local.at[:ov3].add(head)
     new_state = Mix1State(phase_idx=_pick_last(m1.phase_idx),
                           ola_carry=_pick_last(m1.ola_carry),
-                          frac_phase=m1.frac_phase)
+                          frac_phase=_pick_last(m1.frac_phase))
     timf3 = jax.lax.all_gather(timf3_local, AXIS, axis=0, tiled=True)
     return new_state, timf3
 
@@ -320,6 +346,7 @@ def _fir_len(tables: RxTables) -> int:
 def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
                          blanker_pulsewidth: int = 2,
                          per_frame_tune: bool = False,
+                         coherent_tune: bool = False,
                          tables: RxTables | None = None):
     """Build the sharded step.  Requires every per-shard chunk to hold an
     integer number of frames at every stage — derive the geometry with
@@ -328,7 +355,12 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
     With ``per_frame_tune`` the tune argument is a (fftx_frames_per_step,)
     array sharded along frames (the AFC mix1_fq_mid path); the mixer
     phase offset of each shard is the wrapped sum of all earlier shards'
-    increments (exclusive prefix over the gathered per-shard sums)."""
+    increments (exclusive prefix over the gathered per-shard sums).
+
+    With ``coherent_tune`` the step additionally takes frame-sharded
+    (tune_frac, tune_slope) float32 arrays — the coherent drift-tracking
+    form (do_mix1_afc mix1.c:648): the signature becomes
+    ``step(tables, state, block, tune_bin, tune_frac, tune_slope)``."""
     d = mesh.shape[AXIS]
     assert geo.fft1_frames_per_step % d == 0, (
         f"fft1 frames {geo.fft1_frames_per_step} not divisible by mesh "
@@ -342,8 +374,10 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
     fir_len = _fir_len(tables0) if p.mixer_mode == 2 else 0
 
     def shard_body(tables: RxTables, state: RxState, block: jax.Array,
-                   tune_bin: jax.Array):
-        if per_frame_tune:
+                   tune_bin: jax.Array,
+                   tune_frac: jax.Array | None = None,
+                   tune_slope: jax.Array | None = None):
+        if per_frame_tune or coherent_tune:
             # global first frame's bin (shard 0's first element)
             tune0 = jax.lax.psum(
                 jnp.where(jax.lax.axis_index(AXIS) == 0,
@@ -354,7 +388,10 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
         wide, fftx_spec, aux = front(tables, state, block, tune0)
         new_mix1, timf3 = _sharded_mix1(geo, tables, state.mix1,
                                         fftx_spec, tune_bin,
-                                        per_frame_tune, n_fftx_local)
+                                        per_frame_tune or coherent_tune,
+                                        n_fftx_local,
+                                        tune_frac=tune_frac,
+                                        tune_slope=tune_slope)
         # ---- narrowband finale: replicated, shared with the single-chip
         # chain (it is 1/decimation of the data) ----
         nb, audio, baseb, gain = narrowband_post_mix1(
@@ -385,10 +422,13 @@ def make_sharded_rx_step(geo: Geometry, p: RxParams, mesh: Mesh,
     out_spec = jax.tree_util.tree_map(
         lambda _: P(), (state0, _outputs_struct(geo, p)))
 
-    tune_spec = P(AXIS) if per_frame_tune else P()
+    tune_spec = P(AXIS) if (per_frame_tune or coherent_tune) else P()
+    in_specs = (tables_spec, state_spec, P(AXIS, None), tune_spec)
+    if coherent_tune:
+        in_specs = in_specs + (P(AXIS), P(AXIS))
     sharded = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(tables_spec, state_spec, P(AXIS, None), tune_spec),
+        in_specs=in_specs,
         out_specs=out_spec, check_vma=False)
     return sharded
 
@@ -510,7 +550,13 @@ class ShardedReceiver:
         self._step_afc = jax.jit(
             make_sharded_rx_step(self.geo, params, self.mesh, pw,
                                  per_frame_tune=True, tables=self.tables))
+        # coherent AFC path: frame-sharded (bins, frac, slope)
+        self._step_coh = jax.jit(
+            make_sharded_rx_step(self.geo, params, self.mesh, pw,
+                                 coherent_tune=True, tables=self.tables))
         self._tune_bin = jnp.zeros((), jnp.int32)
+        self._tune_frac = jnp.zeros((), jnp.float32)
+        self._tune_slope = None
         self._block_sharding = NamedSharding(self.mesh, P(AXIS, None))
         self._tune_sharding = NamedSharding(self.mesh, P(AXIS))
         from ..pipeline.control import WeakSignalControl
@@ -521,6 +567,8 @@ class ShardedReceiver:
         fs = self.geo.timf1_sampling_speed
         self._tune_bin = jnp.asarray(
             int(round(freq_hz / fs * n)) % n, jnp.int32)
+        self._tune_frac = jnp.zeros((), jnp.float32)
+        self._tune_slope = None
         self.control.on_tune(freq_hz)
 
     def process_block(self, block) -> RxOutputs:
@@ -529,15 +577,24 @@ class ShardedReceiver:
         if block.ndim == 1:
             block = block[:, None]
         block = jax.device_put(block, self._block_sharding)
-        if self._tune_bin.ndim:  # per-frame AFC tuning
+        if self._tune_slope is not None:  # coherent AFC drift tracking
+            tune = jax.device_put(self._tune_bin, self._tune_sharding)
+            frac = jax.device_put(self._tune_frac, self._tune_sharding)
+            slope = jax.device_put(self._tune_slope,
+                                   self._tune_sharding)
+            self.state, out = self._step_coh(self.tables, self.state,
+                                             block, tune, frac, slope)
+        elif self._tune_bin.ndim:  # per-frame AFC tuning
             tune = jax.device_put(self._tune_bin, self._tune_sharding)
             self.state, out = self._step_afc(self.tables, self.state,
                                              block, tune)
         else:
             self.state, out = self._step(self.tables, self.state, block,
                                          self._tune_bin)
-        self._tune_bin, self.state = self.control.update(
-            out, self._tune_bin, self.state)
+        (self._tune_bin, self._tune_frac, self._tune_slope,
+         self.state) = self.control.update(
+            out, self._tune_bin, self.state,
+            tune_frac=self._tune_frac, tune_slope=self._tune_slope)
         return out
 
     def run(self, iq: np.ndarray):

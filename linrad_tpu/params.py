@@ -152,6 +152,11 @@ class RxParams:
     afc_avgnum: int = 4
     afc_fit_points: int = 10
     afc_max_drift_hz: float = 50.0
+    # coherent drift tracking while locked: feed mix1 a constant base
+    # bin plus per-frame (frac, slope) ramps (AFCTracker.frame_tuning —
+    # the do_mix1_afc intra-transform chirp, mix1.c:648/103-106) instead
+    # of stepped integer bins.  Phase-continuous across frames.
+    afc_coherent: bool = True
 
     # --- spur cancellation (spur.c / spursub.c) ---
     spur_enable: bool = False

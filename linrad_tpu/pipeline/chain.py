@@ -384,22 +384,27 @@ def make_rx_step(geo: Geometry, p: RxParams, blanker_pulsewidth: int = 2,
 
     With ``fractional_tune`` the step takes a fifth traced argument
     ``tune_frac`` (float32 bin fraction, set_mix1_phases mix1.c:781) so
-    ANY dial frequency lands exactly at DC."""
+    ANY dial frequency lands exactly at DC, and an optional sixth
+    ``tune_slope`` (per-frame drift in bins/hop — the do_mix1_afc
+    intra-transform chirp capability, mix1.c:648/103-106) for coherent
+    drift tracking while the AFC is locked."""
     front = _make_wideband_front(geo, p, blanker_pulsewidth)
 
     def step(tables: RxTables, state: RxState, block: jax.Array,
              tune_bin: jax.Array,
-             tune_frac: jax.Array | None = None
+             tune_frac: jax.Array | None = None,
+             tune_slope: jax.Array | None = None
              ) -> tuple[RxState, RxOutputs]:
         # tune_bin may be scalar (fixed tuning) or (n_fftx,) per-frame
         # (the AFC path, do_mix1_afc mix1.c:648)
         if not fractional_tune:
             tune_frac = None
+            tune_slope = None
         tune0 = jnp.reshape(tune_bin, (-1,))[0]
         wide, fftx_spec, aux = front(tables, state, block, tune0)
         nb, audio, baseb, gain = narrowband_tail(
             geo, p, tables, NBState.from_rx(state), fftx_spec, tune_bin,
-            tune_frac=tune_frac)
+            tune_frac=tune_frac, tune_slope=tune_slope)
         new_state = RxState(fft1=wide["fft1"], mix1=nb.mix1,
                             fft3=nb.fft3, mix2=nb.mix2, bfo=nb.bfo,
                             am=nb.am, fm=nb.fm, coh=nb.coh, agc=nb.agc,

@@ -24,7 +24,9 @@ def save_receiver(path: str, rx) -> None:
     meta = {
         "params": rx.params.to_json(),
         "tune_bin": np.asarray(rx._tune_bin).tolist(),
-        "tune_frac": float(np.asarray(rx._tune_frac)),
+        "tune_frac": np.asarray(rx._tune_frac).tolist(),
+        "tune_slope": (None if rx._tune_slope is None
+                       else np.asarray(rx._tune_slope).tolist()),
         "steps_done": rx._steps_done,
         "n_leaves": len(leaves),
     }
@@ -52,6 +54,9 @@ def load_receiver(path: str):
         treedef, [jnp.asarray(x) for x in leaves])
     rx._tune_bin = jnp.asarray(np.asarray(meta["tune_bin"]))
     rx._tune_frac = jnp.asarray(meta.get("tune_frac", 0.0), jnp.float32)
+    slope = meta.get("tune_slope")
+    rx._tune_slope = (None if slope is None
+                      else jnp.asarray(slope, jnp.float32))
     rx._steps_done = meta["steps_done"]
     if rx.afc is not None and "afc" in meta:
         a = meta["afc"]

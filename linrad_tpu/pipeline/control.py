@@ -41,10 +41,18 @@ class WeakSignalControl:
             self.afc.freq_hz = freq_hz % self.geo.timf1_sampling_speed
             self._afc_subbuf.clear()
 
-    def update(self, out, tune_bin, state):
-        """Returns (new_tune_bin, new_state).  tune_bin becomes a
-        per-frame array once the AFC is tracking (mix1_fq_mid)."""
+    def update(self, out, tune_bin, state, tune_frac=None,
+               tune_slope=None):
+        """Returns (new_tune_bin, new_state) — or, when called with
+        ``tune_frac``, (new_tune_bin, new_frac, new_slope, new_state).
+
+        Once the AFC is tracking, tune_bin becomes a per-frame array
+        (mix1_fq_mid); with ``afc_coherent`` (and a frac-capable
+        caller) it instead becomes a constant base bin plus per-frame
+        (frac, slope) ramps — AFCTracker.frame_tuning, the coherent
+        form of do_mix1_afc (mix1.c:648)."""
         geo = self.geo
+        with_frac = tune_frac is not None
         self.steps_done += 1
         if self.afc is not None:
             power = np.sum(np.asarray(
@@ -60,9 +68,16 @@ class WeakSignalControl:
             else:
                 self.afc.update(power, now)
             if self.afc.status in (2, 3, 4):
-                bins = self.afc.frame_bins(now + self.step_seconds,
-                                           geo.fftx_frames_per_step)
-                tune_bin = jnp.asarray(bins)
+                if with_frac and self.params.afc_coherent:
+                    bins, frac, slope = self.afc.frame_tuning(
+                        now + self.step_seconds, geo.fftx_frames_per_step)
+                    tune_bin = jnp.asarray(bins)
+                    tune_frac = jnp.asarray(frac)
+                    tune_slope = jnp.asarray(slope)
+                else:
+                    bins = self.afc.frame_bins(now + self.step_seconds,
+                                               geo.fftx_frames_per_step)
+                    tune_bin = jnp.asarray(bins)
         if (self.spur_manager is not None and state.spur is not None
                 and self.steps_done % self.spur_scan_interval == 0):
             avg = np.sum(np.asarray(
@@ -73,4 +88,6 @@ class WeakSignalControl:
                                               protect_lo=c - 7,
                                               protect_hi=c + 7)
             state = dataclasses.replace(state, spur=new_spur)
+        if with_frac:
+            return tune_bin, tune_frac, tune_slope, state
         return tune_bin, state

@@ -89,6 +89,7 @@ class Receiver:
         self._step = jax.jit(step)
         self._tune_bin = jnp.zeros((), jnp.int32)
         self._tune_frac = jnp.zeros((), jnp.float32)
+        self._tune_slope = None  # per-frame drift once the AFC locks
         self._step_seconds = (self.geo.samples_per_step
                               / self.geo.timf1_sampling_speed)
         # host-side weak-signal controllers (SURVEY.md §7: ~Hz control)
@@ -161,6 +162,7 @@ class Receiver:
         bin_idx = int(round(t1))
         self._tune_frac = jnp.asarray(t1 - bin_idx, jnp.float32)
         self._tune_bin = jnp.asarray(bin_idx % n, jnp.int32)
+        self._tune_slope = None
         self.control.on_tune(freq_hz)
         self._fire("tune", freq_hz)
 
@@ -188,15 +190,18 @@ class Receiver:
             block = block[:, None]
         assert block.shape == (expect, self.geo.channels), block.shape
         self.state, out = self._step(self.tables, self.state, block,
-                                     self._tune_bin, self._tune_frac)
+                                     self._tune_bin, self._tune_frac,
+                                     self._tune_slope)
         if self._resampler is not None:
             self._resampler_state, resampled = self._resampler(
                 self._resampler_state, out.audio)
             import dataclasses as _dc
             out = _dc.replace(out, audio=resampled)
         self._fire("extra_fast", out)
-        self._tune_bin, self.state = self.control.update(
-            out, self._tune_bin, self.state)
+        (self._tune_bin, self._tune_frac, self._tune_slope,
+         self.state) = self.control.update(
+            out, self._tune_bin, self.state, tune_frac=self._tune_frac,
+            tune_slope=self._tune_slope)
         self._fire("block", out)
         return out
 
@@ -231,8 +236,10 @@ class Receiver:
 
         watchdog/monitor: optional runtime.watchdog.Watchdog (gets a
         "receiver" heartbeat per step, the thread_status_flag analog)
-        and RealTimeMonitor (advanced by each step's input samples —
-        the z_TIMING.txt margin surface)."""
+        and RealTimeMonitor (advanced by each step's raw input sample
+        count, so construct it with rate_hz = the input A/D rate
+        geo.rx_ad_speed in both IQ and real-input modes — the
+        z_TIMING.txt margin surface)."""
         import time as _time
         if iq.ndim == 1:
             iq = iq[:, None]
@@ -256,7 +263,7 @@ class Receiver:
             if watchdog is not None:
                 watchdog.beat("receiver")
             if monitor is not None:
-                monitor.advance(s if self.geo.iq_input else s // 2)
+                monitor.advance(s)  # raw input samples (A/D rate)
             yield out
             i += 1
             done += 1

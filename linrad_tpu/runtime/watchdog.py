@@ -127,7 +127,9 @@ class RealTimeMonitor:
     """Stream-time vs wall-time margin (the timing display,
     z_TIMING.txt:6-15).
 
-    ``advance(n)`` accounts n processed input samples; ``margin_s`` is
+    ``advance(n)`` accounts n processed RAW input samples, so
+    ``rate_hz`` is the input A/D rate (geo.rx_ad_speed) in both IQ and
+    real-input modes; ``margin_s`` is
     how far ahead of real time the pipeline is (negative = falling
     behind, the condition that ends in an overrun once the input
     buffering — ``headroom_s`` — is exhausted)."""

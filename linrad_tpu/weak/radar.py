@@ -228,7 +228,13 @@ class RadarTracker:
             else np.zeros((0, self.n_bins), np.float32)
         ston = np.array(self._ston)
         centers, _ = self._pulse_centers(ston)
-        pw_j = jnp.asarray(pw)
+        # pad the history to a 256-frame bucket so the jitted
+        # _accumulate sees a handful of static shapes at most (fresh
+        # compiles are minutes on this backend); only the slice start
+        # varies between feeds
+        cap = max(256, -(-len(pw) // 256) * 256)
+        pw_j = jnp.asarray(np.concatenate(
+            [pw, np.zeros((cap - len(pw), self.n_bins), np.float32)]))
         for c in centers:
             if c < self._next_scan - self._consumed:
                 continue

@@ -219,6 +219,56 @@ class TestShardedAFC:
         spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
         fr = np.fft.rfftfreq(len(a), 1 / g.baseband_sampling_speed)
         assert abs(fr[np.argmax(spec)] - p.bfo_hz) < 3 * g.fftx_bandwidth
+        # default afc_coherent=True: the mesh ran the coherent
+        # (bins, frac, slope) signature once locked
+        assert srx._tune_slope is not None
+
+    def test_coherent_step_matches_single_device(self):
+        """The frame-sharded coherent-tune step (exclusive-prefix frac
+        phases + ramped carry heads) reproduces the single-chip
+        Receiver's audio when BOTH are driven with the same prescribed
+        (bins, frac, slope) sequence — a deterministic equivalence test
+        of the kernel, independent of AFC lock dynamics."""
+        import jax.numpy as jnp
+        from linrad_tpu.pipeline.receiver import Receiver
+        p = RxParams(**_base(afc_enable=False,
+                             first_fft_bandwidth=30.0,
+                             filter_low_hz=-150.0, filter_high_hz=150.0))
+        srx = ShardedReceiver(p)
+        g = srx.geo
+        rx = Receiver(RxParams(**{**p.__dict__, "shards": 1}))
+        fs = g.timf1_sampling_speed
+        n_fr = g.fftx_frames_per_step
+        steps = 8
+        base = int(round(10_000.0 / fs * g.fftx_size))
+        # a slow coherent drift: fractional bin ramps from -0.3 to +0.3
+        gf = np.arange(steps * n_fr + 1)
+        tbins = base - 0.3 + 0.6 * gf / (steps * n_fr)
+        n = g.samples_per_step * steps
+        t = np.arange(n) / g.rx_ad_speed
+        rng = np.random.default_rng(3)
+        fc = (base - 0.1) * fs / g.fftx_size
+        iq = (0.5 * np.exp(2j * np.pi * fc * t)
+              + 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+              ).astype(np.complex64)
+        s = g.samples_per_step
+        outs_s, outs_r = [], []
+        for i in range(steps):
+            lo, hi = i * n_fr, (i + 1) * n_fr
+            bins = jnp.full((n_fr,), base % g.fftx_size, jnp.int32)
+            frac = jnp.asarray(tbins[lo:hi] - base, jnp.float32)
+            slope = jnp.asarray(np.diff(tbins[lo:hi + 1]), jnp.float32)
+            for obj in (srx, rx):
+                obj._tune_bin, obj._tune_frac, obj._tune_slope = \
+                    bins, frac, slope
+            outs_s.append(np.asarray(
+                srx.process_block(iq[i * s:(i + 1) * s]).audio))
+            outs_r.append(np.asarray(
+                rx.process_block(iq[i * s:(i + 1) * s]).audio))
+        got = np.concatenate(outs_s)
+        ref = np.concatenate(outs_r)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
 
 
 class TestShardedSpur:

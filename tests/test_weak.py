@@ -107,6 +107,49 @@ class TestAFC:
         peak = freqs[np.argmax(spec)]
         assert abs(peak - 600.0) < 3 * g.fftx_bandwidth, peak
 
+    def _tone_purity_db(self, coherent: bool):
+        """Demodulate a drifting carrier; return (rx, in-band SNR of the
+        600 Hz audio tone over the last quarter)."""
+        p = RxParams(first_fft_bandwidth=30.0,
+                     mix1_bandwidth_reduction_n=4, agc_enable=False,
+                     afc_enable=True, afc_coherent=coherent,
+                     bfo_hz=600.0,
+                     filter_low_hz=-150.0, filter_high_hz=150.0)
+        rx = Receiver(p)
+        g = rx.geo
+        fc, drift = 10_000.0, 2.0
+        rx.tune(fc)
+        iq = self._drifting(g, fc, drift, 24, nl=0.0)
+        audio = np.concatenate(
+            [np.asarray(o.audio) for o in rx.run(iq)])[:, 0]
+        a = audio[3 * len(audio) // 4:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+        freqs = np.fft.rfftfreq(len(a), 1 / g.baseband_sampling_speed)
+        m = np.abs(freqs - 600.0) < 5.0
+        sig = spec[m].sum()
+        rest = spec.sum() - sig
+        return rx, 10 * np.log10(sig / max(rest, 1e-30))
+
+    def test_coherent_tracking_engages_and_cleans_the_line(self):
+        """afc_coherent feeds (base bin, frac, slope) into the jitted
+        step while locked (do_mix1_afc mix1.c:648) — the demodulated
+        line is spectrally cleaner than stepped integer-bin retuning,
+        and the Receiver really runs the slope signature."""
+        rx_c, snr_c = self._tone_purity_db(True)
+        rx_s, snr_s = self._tone_purity_db(False)
+        assert rx_c.afc.status == 3 and rx_s.afc.status == 3
+        # the production step consumed per-frame frac+slope arrays
+        assert rx_c._tune_slope is not None
+        assert np.asarray(rx_c._tune_slope).shape \
+            == (rx_c.geo.fftx_frames_per_step,)
+        assert np.asarray(rx_c._tune_frac).shape \
+            == (rx_c.geo.fftx_frames_per_step,)
+        # the stepped path must NOT engage the slope signature
+        assert rx_s._tune_slope is None
+        # coherent: no inter-frame phase jumps -> purer line
+        assert snr_c > snr_s + 10.0, (snr_c, snr_s)
+        assert snr_c > 10.0, snr_c
+
 
 class TestSpur:
     def test_cancels_offchannel_carrier(self):
