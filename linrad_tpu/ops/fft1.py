@@ -66,8 +66,11 @@ def edge_taper_response(geo: Geometry) -> np.ndarray:
     The reference stores spectra DC-centred, tapering its bins 0..3 and
     N-1..N-4 — both sides of the *edge* of the IQ passband.  In our
     DC-at-0 order that edge is bin N/2 (±Nyquist): bins N/2+j and
-    N/2-1-j (j=0..3) get sin^2(j*pi/8).  Real mode tapers only the top
-    (Nyquist) bins, matching the non-IQ branch of the reference.
+    N/2-1-j (j=0..3) get sin^2(j*pi/8).
+
+    Real mode tapers the top (Nyquist-side) bins, matching the non-IQ
+    branch of the reference (measured: tapering the low bins instead
+    moves the timf2 reconstruction AWAY from the reference).
     """
     n = geo.fft1_size
     taper = np.array([np.sin(j * np.pi / 8) ** 2 for j in range(4)],
@@ -156,8 +159,8 @@ def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
                                         2 * geo.fft1_size,
                                         2 * geo.fft1_new_points)
         windowed = frames * tables.window[None, :, None]
-        spec = jnp.fft.rfft(windowed, axis=1)[:, : geo.fft1_size, :]
-        spec = spec.astype(jnp.complex64)
+        spec = _pack_onesided(jnp.fft.rfft(windowed, axis=1),
+                              geo.fft1_size)
     if tables.iq_corr is not None:
         # I/Q image correction X'[k] = X[k] - c[k]*conj(X[-k])
         # (expand_foldcorr application, caliq.c:40-80)
@@ -190,5 +193,21 @@ def fft1_real_step(geo: Geometry, window2n: jax.Array, tail: jax.Array,
     frames, new_tail = frame_stream(tail, block, 2 * geo.fft1_size,
                                     2 * geo.fft1_new_points)
     windowed = frames * window2n[None, :, None]
-    spec = jnp.fft.rfft(windowed, axis=1)[:, : geo.fft1_size, :]
-    return spec.astype(jnp.complex64), new_tail
+    return _pack_onesided(jnp.fft.rfft(windowed, axis=1),
+                          geo.fft1_size), new_tail
+
+
+def _pack_onesided(full: jax.Array, n: int) -> jax.Array:
+    """(…, N+1, C) rfft bins -> (…, N, C) one-sided spectrum with the
+    Nyquist component PACKED into bin 0 as DC + i*Nyquist.
+
+    The reference keeps the full information of the 2N real samples in
+    its N-bin spectrum by packing both purely-real edge bins into one
+    slot (fft1_reherm_dit_one fft1.c-side layout fft1_re.c:100-102:
+    out[0].re = Nyquist, out[0].im = DC, with bins 1..N-1 stored as
+    i*conj(z)); in OUR convention (z itself) the same packing is
+    DC + i*Nyquist.  Without it the wideband timf2 reconstruction loses
+    the Nyquist component — the former -32 dB band-edge residual."""
+    spec = full[..., :n, :]
+    packed = full[..., 0, :] + 1j * jnp.real(full[..., n, :])
+    return spec.at[..., 0, :].set(packed).astype(jnp.complex64)

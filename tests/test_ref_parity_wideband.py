@@ -870,12 +870,19 @@ def test_clever_blanker_two_channel_pulse_vs_reference(jnp):
 
 def test_timf2_real_input_bounded_vs_reference(jnp):
     """Real (non-IQ) input wideband: the reference's real-mode back
-    transform vs our rfft-fold + N-point inverse.  The narrowband path
-    from the same spectra is sample-exact (test_ref_parity_configs), but
-    the full-band timf2 reconstruction differs at the -32 dB level
-    (band-edge bin handling of the real fold); pinned as a bound with
-    the dominant component verified: best-fit conj relation at a
-    constant lag, max relative error < 4 %."""
+    transform vs our rfft-fold + N-point inverse.
+
+    Bin-indexed root cause of the former "-32 dB differs slightly"
+    bound (VERDICT r3 #6): the deviation lives ENTIRELY in the packed
+    DC/Nyquist slot (bin 0 of the one-sided spectrum — the reference
+    packs re=Nyquist, im=DC there, fft1_re.c:100-102, and its
+    split/back pipeline carries ~-34 dB of frame-varying junk in that
+    slot that is not a clean function of the frame's DC/Nyquist).
+    Bins 1..N-1 are float32-exact: after REMOVING a fitted per-frame
+    bin-0 component (the OLA synthesis-window shape) from the
+    difference, the residual is at float32 level (<1e-4 rel rms,
+    measured 1.8e-5).  The overall production-path bound (<4 % max
+    rel) is kept as the headline envelope."""
     import dataclasses
 
     from refharness import load
@@ -914,25 +921,68 @@ def test_timf2_real_input_bounded_vs_reference(jnp):
     wg = jnp.ones(geo.fft1_size, jnp.float32)
     sg = jnp.zeros(geo.fft1_size, jnp.float32)
     spp2 = 2 * geo.samples_per_step
-    weak_all = []
+    weak_all, weak0_all = [], []
+    st2z = Timf2State.create(geo)
     for s in range(len(x) // spp2):
         blk = jnp.asarray(x[s * spp2:(s + 1) * spp2][:, None])
         s1, spec, _ = fft1_step(geo, t1, s1, blk, avg1num=4)
         st2, weak, strong, wpwr = timf2_step(geo, syn, st2, spec, wg, sg)
         weak_all.append(np.asarray(weak[:, 0]))
+        # same spectra with the packed DC/Nyquist slot zeroed
+        st2z, weak0, _s0, _p0 = timf2_step(
+            geo, syn, st2z, spec.at[:, 0, :].set(0), wg, sg)
+        weak0_all.append(np.asarray(weak0[:, 0]))
     ours = np.concatenate(weak_all)
+    ours0 = np.concatenate(weak0_all)
     m = min(len(ours), pts)
-    a = np.conj(ours[:m])
     lag = 512            # one fft1 hop of group-delay offset
-    aa, bb = a[3000:m - lag], ref[3000 + lag:m]
-    k2 = min(len(aa), len(bb))
-    aa, bb = aa[:k2], bb[:k2]
-    sc = np.vdot(aa, bb) / np.vdot(aa, aa)
-    err = np.abs(bb - sc * aa)
-    maxrel = err.max() / np.abs(bb).max()
+
+    def _fit(series):
+        aa, bb = np.conj(series[:m])[3000:m - lag], ref[3000 + lag:m]
+        k2 = min(len(aa), len(bb))
+        aa, bb = aa[:k2], bb[:k2]
+        sc = np.vdot(aa, bb) / np.vdot(aa, aa)
+        return bb - sc * aa, bb
+
+    # headline envelope on the production path
+    err, bb = _fit(ours)
+    maxrel = np.abs(err).max() / np.abs(bb).max()
     assert maxrel < 0.04, maxrel
-    rms = float(np.sqrt((err ** 2).mean() / (np.abs(bb) ** 2).mean()))
+    rms = float(np.sqrt((np.abs(err) ** 2).mean()
+                        / (np.abs(bb) ** 2).mean()))
     assert rms < 0.05, rms
+
+    # bin-indexed exactness: with OUR bin 0 zeroed, the difference is
+    # the reference's per-frame bin-0 term alone — remove a fitted
+    # per-frame amplitude with the OLA synthesis-window shape and the
+    # rest of the band is float32-exact
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+    err0, bb0 = _fit(ours0)
+    N = geo.fft1_size
+    hop = geo.fft1_new_points
+    synv = np.asarray(syn)
+    T = len(err0)
+    n_frames = len(ours) // hop
+    rows, cols, vals = [], [], []
+    for f in range(n_frames):
+        start = f * hop - 3000
+        s0, s1_ = max(start, 0), min(start + N, T)
+        if s1_ <= s0:
+            continue
+        idx = np.arange(s0, s1_)
+        rows.append(idx)
+        cols.append(np.full(len(idx), f))
+        vals.append(synv[idx - start])
+    A = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows),
+                                np.concatenate(cols))),
+        shape=(T, n_frames))
+    c = spl.lsqr(A, err0, atol=1e-10, btol=1e-10)[0]
+    res = err0 - A @ c
+    rel = float(np.sqrt((np.abs(res) ** 2).mean()
+                        / (np.abs(bb0) ** 2).mean()))
+    assert rel < 1e-4, rel
 
 
 def test_fft2_mix1_timf3_exact_vs_reference(jnp):
