@@ -230,6 +230,20 @@ def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
                                  geo.fft2_new_points)
             fftx_spec = fftlib.fft(
                 f2 * tables.fft2.window[None, :, None], axis=1)
+            # spur cancellation BEFORE the power spectrum, as the
+            # single-chip chain / reference (fft2.c:648-670); replicated
+            # over gathered spectra (the per-frame model recurrence
+            # chains across shard boundaries; spectra small, ~1 MB ICI)
+            s_spur = state.spur
+            if p.spur_enable:
+                from ..weak.spur import spur_subtract_step
+                full_spec = jax.lax.all_gather(fftx_spec, AXIS, axis=0,
+                                               tiled=True)
+                s_spur, full_clean = spur_subtract_step(
+                    geo, tables.spur_template, state.spur, full_spec)
+                fftx_spec = jax.lax.dynamic_slice_in_dim(
+                    full_clean, jax.lax.axis_index(AXIS) * n_fftx_local,
+                    n_fftx_local, 0)
             pwr2 = jnp.real(fftx_spec) ** 2 + jnp.imag(fftx_spec) ** 2
             fft2_power = jax.lax.pmean(jnp.mean(pwr2, axis=0), AXIS)
             a2 = min(1.0, geo.fft2_frames_per_step / max(p.fft_avg1num, 1))
@@ -239,20 +253,16 @@ def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
             liminfo_out = s_sellim.liminfo
         else:
             fftx_spec = spec
-
-        # ---- spur cancellation (replicated over gathered spectra: the
-        # per-frame model recurrence chains across shard boundaries, and
-        # the spectra are small after decim-relevant sizes; ~1 MB on ICI)
-        s_spur = state.spur
-        if p.spur_enable:
-            from ..weak.spur import spur_subtract_step
-            full_spec = jax.lax.all_gather(fftx_spec, AXIS, axis=0,
-                                           tiled=True)
-            s_spur, full_clean = spur_subtract_step(
-                geo, tables.spur_template, state.spur, full_spec)
-            fftx_spec = jax.lax.dynamic_slice_in_dim(
-                full_clean, jax.lax.axis_index(AXIS) * n_fftx_local,
-                n_fftx_local, 0)
+            s_spur = state.spur
+            if p.spur_enable:
+                from ..weak.spur import spur_subtract_step
+                full_spec = jax.lax.all_gather(fftx_spec, AXIS, axis=0,
+                                               tiled=True)
+                s_spur, full_clean = spur_subtract_step(
+                    geo, tables.spur_template, state.spur, full_spec)
+                fftx_spec = jax.lax.dynamic_slice_in_dim(
+                    full_clean, jax.lax.axis_index(AXIS) * n_fftx_local,
+                    n_fftx_local, 0)
 
         wide = dict(fft1=s_fft1, sellim=s_sellim, timf2=s_timf2,
                     fft2=s_fft2, blanker=s_blank, spur=s_spur)

@@ -40,7 +40,8 @@ from ..ops.sellim import SellimState
 from ..ops.squelch import SquelchState, expander, squelch_step
 from ..ops.timf2 import Timf2State, make_timf2_syn, timf2_step
 from ..weak.pol import PolState, update_polarization
-from ..weak.spur import SpurState, spur_subtract_step, window_template
+from ..weak.spur import (SpurState, spur_subtract_step,
+                         window_template_table)
 
 
 @pytree_dataclass(frozen=True)
@@ -67,7 +68,7 @@ class RxTables:
             sinpow = (geo.fft2_sinpow if geo.second_fft_enable
                       else geo.fft1_sinpow)
             spur_tpl = jnp.asarray(
-                window_template(geo.fftx_size, sinpow))
+                window_template_table(geo.fftx_size, sinpow))
         return cls(fft1=FFT1Tables.create(
                        geo, filtercorr=calibration.get("filtercorr"),
                        iq_corr=calibration.get("iq_corr")),
@@ -354,16 +355,27 @@ def _make_wideband_front(geo: Geometry, p: RxParams,
                 weak, wpwr, n_clear = blanker_ops.stupid_blanker(
                     weak, wpwr, nf, p.stupid_bln_limit,
                     blanker_pulsewidth)
-            s_fft2, fftx_spec, fft2_power = fft2_step(
-                geo, tables.fft2, state.fft2, weak, strong, p.fft_avg1num)
+            from ..ops.fft2 import fft2_power_update, fft2_transform
+            t2_tail, fftx_spec = fft2_transform(
+                geo, tables.fft2, state.fft2.tail, weak, strong)
+            s_spur = state.spur
+            if p.spur_enable:
+                # subtract BEFORE the power spectrum, as the reference
+                # runs eliminate_spurs ahead of its power block
+                # (fft2.c:648-670) — cancelled spurs vanish from the
+                # waterfall and the auto-search never re-adds them
+                s_spur, fftx_spec = spur_subtract_step(
+                    geo, tables.spur_template, state.spur, fftx_spec)
+            s_fft2, fft2_power = fft2_power_update(
+                geo, state.fft2, t2_tail, fftx_spec, p.fft_avg1num)
             liminfo_out = s_sellim.liminfo
             nf_out = s_blank.noise_floor
         else:
             fftx_spec = fft1_spec
-        s_spur = state.spur
-        if p.spur_enable:
-            s_spur, fftx_spec = spur_subtract_step(
-                geo, tables.spur_template, state.spur, fftx_spec)
+            s_spur = state.spur
+            if p.spur_enable:
+                s_spur, fftx_spec = spur_subtract_step(
+                    geo, tables.spur_template, state.spur, fftx_spec)
         wide = dict(fft1=s_fft1, sellim=s_sellim, timf2=s_timf2,
                     fft2=s_fft2, blanker=s_blank, spur=s_spur)
         aux = dict(step_power=step_power, fft2_power=fft2_power,

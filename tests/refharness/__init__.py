@@ -96,6 +96,30 @@ def load():
     lib.ref_update_liminfo.restype = ctypes.c_int
     lib.ref_set_liminfo_auto.argtypes = [ctypes.c_int]
     lib.ref_set_pretend_calamp.argtypes = [ctypes.c_int]
+    lib.ref_enable_cw_decode.argtypes = [ctypes.c_int]
+    lib.ref_enable_spurs.argtypes = [ctypes.c_int]
+    lib.ref_spur_scan.restype = ctypes.c_int
+    lib.ref_spur_get.restype = ctypes.c_double
+    lib.ref_spur_get.argtypes = [ctypes.c_char_p]
+    lib.ref_spur_list.restype = ctypes.c_long
+    lib.ref_spur_list.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
+    lib.ref_cw_collect.restype = ctypes.c_int
+    lib.ref_cw_collect.argtypes = [ctypes.c_double]
+    lib.ref_cw_keying_eval.restype = ctypes.c_double
+    lib.ref_cw_speed.restype = ctypes.c_int
+    lib.ref_cw_speed.argtypes = [ctypes.c_double]
+    lib.ref_cw_get.restype = ctypes.c_double
+    lib.ref_cw_get.argtypes = [ctypes.c_char_p]
+    lib.ref_cw_dashes.restype = ctypes.c_long
+    lib.ref_cw_dashes.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
     _lib = lib
     return lib
 
@@ -109,8 +133,20 @@ class RefChain:
 
     def __init__(self, mode=MODE_SSB, ad_speed=96000, input_mode=IQ_DATA,
                  rf_channels=1, second_fft=0, fft1_bw_centihz=0,
-                 fft1_vernr=2, sinpow=2, afc_enable=0):
+                 fft1_vernr=2, sinpow=2, afc_enable=0, cw_decode=False,
+                 max_spurs=0):
         self.lib = load()
+        # CW buffers are allocated only when CW_DECODE_ENABLE is set at
+        # buffer-allocation time (baseb_graph.c:746) and require AFC
+        # (buf.c:840) — must be decided before ref_setup.
+        self.lib.ref_enable_cw_decode(1 if cw_decode else 0)
+        if cw_decode:
+            afc_enable = 1
+        # spur machinery likewise (buf.c:837 zeroes MAX_NO_OF_SPURS
+        # without AFC; afc_enable=2 is auto spur search)
+        self.lib.ref_enable_spurs(int(max_spurs))
+        if max_spurs and not afc_enable:
+            afc_enable = 2
         # the reference graph-init code reads par_<mode>_* files from cwd
         # if present (wide_graph.c:1675 read_modepar_file) and writes them
         # on setup — remove leftovers so every setup uses defaults and
@@ -246,6 +282,72 @@ class RefChain:
         buf = np.empty((max_frames, 2), np.int16)
         n = self.lib.ref_consume_daout(buf.reshape(-1), max_frames)
         return buf[:n]
+
+    # ---- machine-Morse front end (see ref_api.c CW driver block) ----
+    def cw_collect(self, bitpts: float = 0.0) -> bool:
+        """Extend the key-up/key-down ramp over new baseband data, as
+        the CWDETECT_CLEARED tick does (coherent.c:290-297); updates
+        cwbit_pts first when a positive estimate is given.  Returns
+        False when the reference's unbounded ramp walk SPUN (alarm
+        guard fired, ref_api.c) — a recordable result at low SNR."""
+        rc = self.lib.ref_cw_collect(float(bitpts))
+        if rc == -2:
+            return False
+        if rc != 0:
+            raise RuntimeError(f"ref_cw_collect err {rc}")
+        return True
+
+    def cw_keying_eval(self) -> float:
+        """cwbit length estimate (baseband points) from the accumulated
+        keying spectrum, or -1 if nothing accumulated."""
+        return float(self.lib.ref_cw_keying_eval())
+
+    def cw_speed(self, bitpts: float) -> int:
+        """Run the detect_cw_speed flow from a cwbit guess; returns the
+        resulting cw_detect_flag (5 == CWDETECT_WAVEFORM_ESTABLISHED,
+        4 == CWDETECT_ERROR, sigdef.h:5-16) or -2 if the reference
+        SPUN in one of its unbounded walks (alarm guard)."""
+        rc = self.lib.ref_cw_speed(float(bitpts))
+        if rc == -2:
+            return -2
+        if rc < 0:
+            raise RuntimeError(f"ref_cw_speed err {rc}")
+        return rc
+
+    def cw_get(self, name: str) -> float:
+        v = self.lib.ref_cw_get(name.encode())
+        if v == -999999.0:
+            raise KeyError(name)
+        return float(v)
+
+    def cw_dashes(self, maxn: int = 4096):
+        mid = np.empty(maxn, np.float32)
+        ln = np.empty(maxn, np.int32)
+        n = self.lib.ref_cw_dashes(mid, ln, maxn)
+        return mid[:n], ln[:n]
+
+    # ---- spur canceller (ref_api.c spur driver block) ----
+    def spur_scan(self) -> int:
+        """One bounded auto-search pass (spur_removal wcw.c:209-236);
+        returns the number of locked spurs."""
+        rc = self.lib.ref_spur_scan()
+        if rc < 0:
+            raise RuntimeError(f"ref_spur_scan err {rc}")
+        return rc
+
+    def spur_get(self, name: str) -> float:
+        v = self.lib.ref_spur_get(name.encode())
+        if v == -999999.0:
+            raise KeyError(name)
+        return float(v)
+
+    def spur_list(self, maxn: int = 512):
+        loc = np.empty(maxn, np.int32)
+        freq = np.empty(maxn, np.float32)
+        flag = np.empty(maxn, np.int32)
+        ampl = np.empty(maxn, np.float32)
+        n = self.lib.ref_spur_list(loc, freq, flag, ampl, maxn)
+        return loc[:n], freq[:n], flag[:n], ampl[:n]
 
     # ---- spectra ----
     def fft1_spectra(self, count: int) -> np.ndarray:

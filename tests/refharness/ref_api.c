@@ -230,6 +230,10 @@ static int liminfo_auto = 1;
  * blanker stays enabled (init_hires_graph forces it off uncalibrated);
  * set BEFORE ref_setup. */
 static int pretend_calamp = 0;
+static int setup_cw_decode = 0;
+void ref_enable_cw_decode(int on) { setup_cw_decode = on; }
+static int setup_max_spurs = 0;
+void ref_enable_spurs(int n) { setup_max_spurs = n; }
 void ref_set_pretend_calamp(int on) { pretend_calamp = on; }
 
 void ref_teardown(void)
@@ -305,8 +309,9 @@ int ref_setup(int mode, int ad_speed, int input_mode, int rf_channels,
   genparm[SECOND_FFT_VERNR] = 0;         /* Radix 2 DIF C */
   genparm[AFC_ENABLE] = afc_enable;
   if (!afc_enable) genparm[AFC_LOCK_RANGE] = 0;
-  genparm[MAX_NO_OF_SPURS] = 0;
-  genparm[CW_DECODE_ENABLE] = 0;
+  genparm[MAX_NO_OF_SPURS] = setup_max_spurs;
+  genparm[CW_DECODE_ENABLE] = setup_cw_decode;
+  if (setup_cw_decode && dmp == NULL) dmp = fopen("/dev/null", "w");
   genparm[FFT1_CORRELATION_SPECTRUM] = 0;
 
   fft1_correlation_flag = 0;
@@ -625,7 +630,11 @@ int ref_run_wideband(void)
       first_noise_blanker();
       while (((timf2_pn2 - timf2_px + timf2_size) & timf2_mask)
              >= 4 * ui.rx_rf_channels * fft2_size) {
-        /* one whole transform per chunk-loop pass (wcw.c:280-285) */
+        /* one whole transform per chunk-loop pass (wcw.c:280-285);
+         * the spur system reads the transform index from ffts_na/_nm,
+         * maintained by the chunk loop (wcw.c:288-289) */
+        ffts_na = fft2_na;
+        ffts_nm = fft2_nm;
         make_fft2_status = FFT2_NOT_ACTIVE;
         while (make_fft2_status != FFT2_COMPLETE) {
           make_fft2();
@@ -1008,3 +1017,182 @@ PARMINFO(display_airspyhf_parm_info)
 PARMINFO(display_airspy_parm_info)
 PARMINFO(display_sdrplay2_parm_info)
 PARMINFO(display_sdrplay3_parm_info)
+
+
+/* ------------------------------------------------------------------ */
+/* Machine-Morse front end driver (coherent.c:156/283, cwspeed.c:577) */
+/*                                                                    */
+/* The reference's own state machine cannot reach these routines: the */
+/* CWDETECT_CLEARED case hard-returns before detect_cw_speed          */
+/* (coherent.c:297 "return;//oo..."), cw_decode_region is "do         */
+/* nothing" (cwdetect.c:4388) and init_cw_decode / first_detect force */
+/* CWDETECT_DEBUG_STOP (cwdetect.c:4395/3306).  These entries drive   */
+/* the COMPLETE, reachable-by-hand part — ramp collection, keying-    */
+/* spectrum speed estimation, ideal-waveform construction and         */
+/* detect_cw_speed's dash-fitting iteration — headless, exactly as    */
+/* the CLEARED case would have done without its early return.         */
+/* Requires ref_enable_cw_decode(1) BEFORE ref_setup (the CW buffers  */
+/* are only allocated when genparm[CW_DECODE_ENABLE] is set at        */
+/* buffer-allocation time, baseb_graph.c:746-770) and afc_enable=1    */
+/* (buf.c:840 zeroes CW_DECODE_ENABLE without AFC).                   */
+/* ------------------------------------------------------------------ */
+
+void collect_ramp(void);
+void make_ideal_waveform(void);
+void detect_cw_speed(void);
+float evaluate_keying_spectrum(void);
+
+/* Several reference loops in this (unfinished, see above) subsystem
+ * have no iteration bound and spin forever on noise-dominated ramps:
+ * collect_ramp's key-up walk steps by |baseb_ramp[pc]| and ping-pongs
+ * between baseb_pe and the guard when no >=2.5*cwbit key-up region
+ * exists (coherent.c:198-208) — nothing advances baseb_pe because the
+ * stages that would (first_find_parts etc.) are DEBUG_STOPped in the
+ * source.  Guard the calls with SIGALRM + siglongjmp so a spin is a
+ * recordable RESULT (-2), not a hung test process. */
+#include <setjmp.h>
+static sigjmp_buf cw_jmp;
+static void cw_alarm_handler(int sig) { (void)sig; siglongjmp(cw_jmp, 1); }
+#define CW_GUARD_BEGIN(secs) \
+  if (sigsetjmp(cw_jmp, 1)) { alarm(0); signal(SIGALRM, SIG_DFL); return -2; } \
+  signal(SIGALRM, cw_alarm_handler); alarm(secs)
+#define CW_GUARD_END() do { alarm(0); signal(SIGALRM, SIG_DFL); } while (0)
+
+/* run collect_ramp over the data between baseb_pc and baseb_pb, as
+ * the CWDETECT_CLEARED tick does (coherent.c:290-297): update the
+ * cwbit estimate first (it sets the long-key-up threshold inside
+ * collect_ramp), then extend the ramp.  bitpts <= 0 keeps the current
+ * cwbit_pts. */
+int ref_cw_collect(double bitpts)
+{
+  if (!refapi_setup_done || genparm[CW_DECODE_ENABLE] == 0) return -1;
+  if (bitpts > 0) cwbit_pts = bitpts;
+  if (cwbit_pts <= 0) return 0;   /* no speed guess yet: nothing safe to do */
+  CW_GUARD_BEGIN(5);
+  collect_ramp();
+  CW_GUARD_END();
+  return kill_all_flag ? -refapi_errcode : 0;
+}
+
+/* keying-spectrum fundamental -> cwbit estimate in baseband points
+ * (the CWDETECT_CLEARED flow, coherent.c:294-297) */
+double ref_cw_keying_eval(void)
+{
+  float pos;
+  if (keying_spectrum_cnt == 0) return -1.0;
+  pos = evaluate_keying_spectrum();
+  if (pos <= 0) return -1.0;
+  return 0.5 * mix2.size / pos;
+}
+
+/* full speed-detection flow from a given cwbit guess; returns the
+ * resulting cw_detect_flag (CWDETECT_WAVEFORM_ESTABLISHED == success)
+ * or negative lirerr code */
+int ref_cw_speed(double bitpts)
+{
+  if (!refapi_setup_done || genparm[CW_DECODE_ENABLE] == 0) return -1;
+  cwbit_pts = bitpts;
+  CW_GUARD_BEGIN(60);
+  collect_ramp();
+  if (kill_all_flag) { CW_GUARD_END(); return -refapi_errcode; }
+  make_ideal_waveform();
+  if (kill_all_flag) { CW_GUARD_END(); return -refapi_errcode; }
+  no_of_cwdat = 0;
+  detect_cw_speed();
+  CW_GUARD_END();
+  if (kill_all_flag) return -refapi_errcode;
+  return cw_detect_flag;
+}
+
+double ref_cw_get(const char *name)
+{
+  if (!strcmp(name, "cwbit_pts")) return cwbit_pts;
+  if (!strcmp(name, "dash_pts")) return dash_pts;
+  if (!strcmp(name, "dash_sumsq")) return dash_sumsq;
+  if (!strcmp(name, "cw_avg_points")) return cw_avg_points;
+  if (!strcmp(name, "no_of_cwdat")) return no_of_cwdat;
+  if (!strcmp(name, "cw_detect_flag")) return cw_detect_flag;
+  if (!strcmp(name, "keying_spectrum_cnt")) return keying_spectrum_cnt;
+  if (!strcmp(name, "keying_spectrum_size")) return keying_spectrum_size;
+  if (!strcmp(name, "baseb_pa")) return baseb_pa;
+  if (!strcmp(name, "baseb_pb")) return baseb_pb;
+  if (!strcmp(name, "baseb_pc")) return baseb_pc;
+  if (!strcmp(name, "baseb_pe")) return baseb_pe;
+  if (!strcmp(name, "baseb_px")) return baseb_px;
+  if (!strcmp(name, "cg_code_unit")) return cg_code_unit;
+  return -999999.0;
+}
+
+/* detected dashes: midpoint (baseband points) + ramp length; returns
+ * count written */
+long ref_cw_dashes(float *mid, int *len, long maxn)
+{
+  long i, n = no_of_cwdat;
+  if (n > maxn) n = maxn;
+  for (i = 0; i < n; i++) {
+    mid[i] = cw[i].midpoint;
+    len[i] = cw[i].len;
+  }
+  return n;
+}
+
+
+/* ------------------------------------------------------------------ */
+/* Spur canceller driver (spur.c:36, spursub.c:177, wcw.c:203-246)    */
+/*                                                                    */
+/* Requires ref_enable_spurs(N) BEFORE ref_setup and afc_enable=2     */
+/* (auto spur search; buf.c:837 zeroes MAX_NO_OF_SPURS without AFC).  */
+/* eliminate_spurs itself runs inside make_fft2 / fft1_c once spurs   */
+/* are locked, so the existing ref_run_wideband subtracts in place.   */
+/* ------------------------------------------------------------------ */
+
+void init_spur_elimination(void);
+extern float spur_search_threshold;   /* file-scope in spursub.c:38 */
+
+/* the spur_removal() auto-search pass (wcw.c:209-236), bounded */
+int ref_spur_scan(void)
+{
+  int guard = 0;
+  if (!refapi_setup_done || genparm[MAX_NO_OF_SPURS] <= 0) return -1;
+  if (genparm[SECOND_FFT_ENABLE]) { ffts_na = fft2_na; ffts_nm = fft2_nm; }
+  else                            { ffts_na = fft1_nb; ffts_nm = fft1_nm; }
+  while (autospur_point < spur_search_last_point
+         && no_of_spurs < genparm[MAX_NO_OF_SPURS]
+         && guard++ < 100000) {
+    init_spur_elimination();
+    if (kill_all_flag) return -refapi_errcode;
+  }
+  return no_of_spurs;
+}
+
+double ref_spur_get(const char *name)
+{
+  if (!strcmp(name, "no_of_spurs")) return no_of_spurs;
+  if (!strcmp(name, "autospur_point")) return autospur_point;
+  if (!strcmp(name, "spur_search_first_point"))
+    return spur_search_first_point;
+  if (!strcmp(name, "spur_search_last_point"))
+    return spur_search_last_point;
+  if (!strcmp(name, "spur_search_threshold"))
+    return spur_search_threshold;
+  if (!strcmp(name, "spursearch_sum_counter"))
+    return spursearch_sum_counter;
+  if (!strcmp(name, "spur_speknum")) return spur_speknum;
+  return -999999.0;
+}
+
+/* per-spur state: location (bin), fractional frequency, lock flag,
+ * amplitude; returns count written */
+long ref_spur_list(int *loc, float *freq, int *flag, float *ampl,
+                   long maxn)
+{
+  long i, n = no_of_spurs;
+  if (n > maxn) n = maxn;
+  for (i = 0; i < n; i++) {
+    loc[i] = spur_location[i];
+    freq[i] = spur_freq[i];
+    flag[i] = spur_flag[i];
+    ampl[i] = spur_ampl[i];
+  }
+  return n;
+}

@@ -1,0 +1,211 @@
+"""Spur-canceller golden crosscheck vs the compiled reference
+(VERDICT r3 #5).
+
+The reference's auto spur search + PLL canceller —
+``init_spur_elimination`` (spursub.c:177) accumulating
+``spursearch_spectrum`` inside make_fft2 (fft2.c:673-702),
+``eliminate_spurs`` (spur.c:36) subtracting in place from the fft2
+spectra — is driven headless through tests/refharness (ref_spur_*
+entries, afc_enable=2 auto mode) and compared against our
+weak/spur.py (matched-filter subtractor inside the Receiver's jitted
+step) on identical input:
+
+  * lock acquisition: the reference must lock at the true bin;
+  * subtraction depth: spur-bin power with the canceller on vs off,
+    measured identically on both implementations' fft2 power;
+  * a drifting-spur convergence race: both stay locked and keep
+    suppressing while the spur walks across several bins.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from refharness import available, RefChain, load  # noqa: E402
+
+if not available():                                # pragma: no cover
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+
+jnp = pytest.importorskip("jax.numpy")
+
+FS = 96000.0
+
+
+def _signal(drift_hz_s: float = 0.0, seconds: float = 14.0, seed: int = 0,
+            f_spur: float = 17000.0):
+    n = int(seconds * FS)
+    t = np.arange(n) / FS
+    rng = np.random.default_rng(seed)
+    ph = 2 * np.pi * (f_spur * t + 0.5 * drift_hz_s * t * t)
+    sig = (300.0 * np.exp(1j * ph)
+           + 30.0 * (rng.standard_normal(n)
+                     + 1j * rng.standard_normal(n)))
+    return np.round(sig).astype(np.complex64)
+
+
+def _ref_run(iq: np.ndarray, max_spurs: int):
+    """Feed through the reference wideband chain; returns
+    (refchain, mean fft2 power spectrum over the last quarter,
+    per-quarter power spectra)."""
+    rc = RefChain(ad_speed=int(FS), second_fft=1, sinpow=2,
+                  max_spurs=max_spurs)
+    rc.set_liminfo_auto(False)
+    rc.set_hg("clever_bln_mode", 0)
+    rc.set_hg("stupid_bln_mode", 0)
+    lib = load()
+    newp = rc.geo("fft1_new_points")
+    n2 = rc.geo("fft2_size")
+    maxn2 = rc.geo("max_fft2n")
+    ch = newp * 16
+    quarters = [[] for _ in range(4)]
+    nch = len(iq) // ch
+    last_na = 0
+    for k in range(nch):
+        rc.feed_iq(iq[k * ch:(k + 1) * ch])
+        rc.run_wideband()
+        if max_spurs and k % 4 == 3:
+            rc.spur_scan()
+        na = rc.geo("fft2_na")
+        raw = rc.array("fft2_float", maxn2 * n2 * 2)
+        while last_na != na:
+            z = raw[last_na * n2 * 2:(last_na + 1) * n2 * 2]
+            quarters[4 * k // nch].append(z[0::2] ** 2 + z[1::2] ** 2)
+        # ^ use the ring index separately per transform
+            last_na = (last_na + 1) % maxn2
+    qp = [np.mean(q, axis=0) if q else np.zeros(n2) for q in quarters]
+    return rc, qp[3], qp
+
+
+def _our_params():
+    """Geometry matched to the reference harness default wideband
+    configuration (same mapping as test_ref_parity_wideband._wide_geo,
+    with the spur canceller enabled in the Receiver step)."""
+    import math
+
+    from linrad_tpu.params import RxParams
+
+    rc = RefChain(ad_speed=int(FS), second_fft=1, sinpow=2)
+    n = rc.geo("fft1_size")
+    n2 = rc.geo("fft2_size")
+    kw = dict(
+        rx_ad_speed=int(FS), fft1_n_override=int(math.log2(n)),
+        first_fft_sinpow=2, second_fft_enable=True,
+        second_fft_sinpow=2, second_fft_ninc=2,
+        mix1_bandwidth_reduction_n=int(
+            math.log2(n2 // rc.geo("mix1_size"))),
+        fft3_n=int(math.log2(rc.geo("fft3_size"))),
+        mix2_reduction_n=int(math.log2(rc.geo("fft3_size")
+                                       // rc.geo("mix2_size"))),
+        target_fft1_frames_per_step=16,
+        agc_enable=False, blanker_enable=False)
+    return RxParams(**kw, spur_enable=True), RxParams(**kw), n2
+
+
+def _our_run(iq: np.ndarray, params):
+    from linrad_tpu.pipeline.receiver import Receiver
+
+    rx = Receiver(params)
+    rx.tune(5000.0)        # dial far from the spur (protect window)
+    quarters = [[] for _ in range(4)]
+    outs = list(rx.run(iq))
+    for i, o in enumerate(outs):
+        quarters[4 * i // len(outs)].append(
+            np.sum(np.asarray(o.fft2_power), axis=-1))
+    return rx, [np.mean(q, axis=0) if q else None for q in quarters]
+
+
+def _supp_db(p_off: np.ndarray, p_on: np.ndarray, b: int, half: int = 2):
+    sl = slice(b - half, b + half + 1)
+    return 10 * np.log10(p_off[sl].sum() / max(p_on[sl].sum(), 1e-30))
+
+
+class TestSpurGoldenParity:
+    F_SPUR = 17000.0
+
+    def test_static_spur_lock_and_depth(self):
+        iq = _signal()
+        # reference: canceller on, then off (one config per process,
+        # sequential re-setup)
+        rc_on, p_on_ref, _ = _ref_run(iq, max_spurs=50)
+        loc, freq, flag, _ampl = rc_on.spur_list()
+        n2 = rc_on.geo("fft2_size")
+        bin_ref = int(round(self.F_SPUR / FS * n2 + n2 / 2))
+        assert len(loc) >= 1
+        # locked at the true bin (location is the first of SPUR_WIDTH
+        # points around the peak; freq is the fractional peak)
+        assert min(abs(int(f) - bin_ref) for f in freq) <= 2, (
+            freq, bin_ref)
+        _rc_off, p_off_ref, _ = _ref_run(iq, max_spurs=0)
+        supp_ref = _supp_db(p_off_ref, p_on_ref, bin_ref)
+
+        # ours through the production Receiver step
+        p_spur_on, p_plain, n2o = _our_params()
+        assert n2o == n2
+        rx_on, q_on = _our_run(iq, p_spur_on)
+        _rx_off, q_off = _our_run(iq, p_plain)
+        bin_our = int(round(self.F_SPUR / FS * n2)) % n2
+        bins_active = np.asarray(rx_on.state.spur.bins)
+        assert np.any(np.abs(bins_active - bin_our) <= 2), (
+            bins_active, bin_our)
+        supp_ours = _supp_db(q_off[3], q_on[3], bin_our)
+
+        # both cancel deeply (measured 2026-08-21: ref 48.0 dB, ours
+        # 43-45 dB — the reference's 5x-iterated 11-transform LLSQ
+        # phase model buys its last ~4 dB over our one-pass
+        # centered-smoothed fit)
+        assert supp_ref > 10.0, supp_ref
+        assert supp_ours > 10.0, supp_ours
+        assert supp_ours > supp_ref - 6.0, (supp_ours, supp_ref)
+
+    def _race(self, drift: float, with_ref: bool):
+        iq = _signal(drift_hz_s=drift)
+        t_end = len(iq) / FS
+        f_end = self.F_SPUR + drift * t_end * 0.875  # mid last quarter
+        supp_ref, n_ref_locked = None, None
+        p_spur_on, p_plain, n2 = _our_params()
+        if with_ref:
+            rc_on, _p, q_ref = _ref_run(iq, max_spurs=50)
+            _rc_off, _po, q_ref_off = _ref_run(iq, max_spurs=0)
+            bin_ref = int(round(f_end / FS * n2 + n2 / 2))
+            supp_ref = _supp_db(q_ref_off[3], q_ref[3], bin_ref, half=3)
+            loc, _f, _fl, _a = rc_on.spur_list()
+            n_ref_locked = len(loc)
+        rx_on, q_on = _our_run(iq, p_spur_on)
+        _rx_off, q_off = _our_run(iq, p_plain)
+        bin_our = int(round(f_end / FS * n2)) % n2
+        supp_ours = _supp_db(q_off[3], q_on[3], bin_our, half=3)
+        return supp_ours, supp_ref, n_ref_locked
+
+    def test_drifting_spur_convergence_race(self):
+        """A spur walking across fftx bins at 2 Hz/s: both cancellers
+        must acquire, re-centre and keep suppressing through the drift
+        (the reference via shift_spur_table/spur_relock spur.c:70-150;
+        ours via the curvature-fitted per-frame templates +
+        SpurManager.scan re-centring).
+
+        Measured (2026-08-21): ref 41.8 dB, ours 27.6 dB — under slow
+        drift the reference's iterated quadratic-phase PLL keeps more
+        depth; DOCUMENTED DEVIATION, bounded here.  The flip side is
+        test_fast_drift_beyond_reference."""
+        supp_ours, supp_ref, n_locked = self._race(2.0, with_ref=True)
+        if n_locked:       # ref lock at 2 Hz/s is borderline/run-order
+            assert supp_ours > supp_ref - 20.0, (supp_ours, supp_ref)
+        assert supp_ours > 15.0, supp_ours
+
+    def test_fast_drift_beyond_reference(self):
+        """At 4 Hz/s the reference LOSES the spur (measured: its
+        auto-spur mode removes spurs that fail relock, spur.c:142-152;
+        0 locked at 4+ Hz/s, 0 dB suppression) while our
+        rotation-steered fractional tracker keeps cancelling
+        (measured 21.7 dB) — a capability win, pinned here."""
+        supp_ours, supp_ref, n_locked = self._race(4.0, with_ref=True)
+        assert supp_ours > 12.0, supp_ours
+        # the reference must NOT be doing better than us here
+        if n_locked and supp_ref is not None:
+            assert supp_ours > supp_ref - 3.0, (supp_ours, supp_ref)
