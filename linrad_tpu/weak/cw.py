@@ -214,6 +214,27 @@ def decode_morse(audio: np.ndarray, fs: float, wpm_hint: float = 0.0
     return DecodeResult("".join(text).strip(), wpm, thr, marks)
 
 
+def _derotate_carrier(z: np.ndarray, fs: float
+                      ) -> tuple[np.ndarray, float]:
+    """Move the strongest spectral line of a complex baseband to DC
+    (the residual-carrier removal the reference gets from its AFC +
+    coherent carrier filter, mix2.c baseb_carrier).  Returns
+    (derotated, offset_hz)."""
+    n = len(z)
+    pad = 4 if n * 4 <= (1 << 22) else 1
+    spec = np.fft.fft(z * np.hanning(n), pad * n)
+    mags = np.abs(spec)
+    k = int(np.argmax(mags))
+    km, kp = (k - 1) % (pad * n), (k + 1) % (pad * n)
+    denom = mags[km] - 2 * mags[k] + mags[kp]
+    delta = (0.5 * (mags[km] - mags[kp]) / denom) if denom else 0.0
+    f = ((k + delta) / (pad * n)) * fs
+    if f > fs / 2:
+        f -= fs
+    return (z * np.exp(-2j * np.pi * f * np.arange(n) / fs)
+            ).astype(np.complex64), float(f)
+
+
 def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
                     dur_weight: float = 12.0) -> DecodeResult:
     """Maximum-likelihood Morse decode: Viterbi over the element grammar.
@@ -230,13 +251,29 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
     prior dominates and the grammar carries the decode.  Measured: equal
     to the matched-filter threshold path at moderate SNR and ~25% fewer
     character errors at its -3 dB failure point (tests).
+
+    With COMPLEX baseband input a coherent scorer also competes: after
+    residual-carrier derotation, every candidate mark element is scored
+    by its coherent integral |sum z|^2/(d*v) over the element (prefix
+    sums make this O(1) per candidate) — the full generalisation of the
+    reference's dash template fits (fit_dash cohsub.c:94, which
+    coherently integrates only at dash scale).  Coherent dash
+    integration is worth ~10*log10(12) dB over quarter-dot envelope
+    statistics, extending the decode threshold ~4 dB below the
+    incoherent path (WEAK_SIGNAL.md sweep).
     """
-    env_raw = np.abs(np.asarray(audio)).astype(np.float64)
+    audio = np.asarray(audio)
+    is_complex = np.iscomplexobj(audio)
+    env_raw = np.abs(audio).astype(np.float64)
+    zd = None
+    if is_complex:
+        zd, _off = _derotate_carrier(audio.astype(np.complex64), fs)
     base = decode_morse(audio, fs, wpm_hint)       # speed + fallback
     wpm = wpm_hint or base.wpm
     if wpm <= 0:
         return base
-    def _decode_at(wpm: float):
+
+    def _decode_at(wpm: float, coherent: bool = False):
         dot_s = 1.2 / wpm
         cell_n = max(1, int(round(dot_s * fs / 4.0)))  # quarter-dot cells
         ncell = len(env_raw) // cell_n
@@ -244,28 +281,47 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
             return None
         pwr = env_raw[: ncell * cell_n] ** 2
         x = pwr.reshape(ncell, cell_n).mean(axis=1)
-        # Gaussian emission model (cells average many power samples): fit
-        # the space/mark modes by 2-means, then per-cell LLR under the two
-        # fitted Gaussians.  Scale adapts naturally: strong signals give
-        # huge |LLR| (timing becomes flexible), weak ones give small |LLR|
-        # (the duration grammar carries the decode).
-        c0, c1 = float(x.min()), float(x.max())
-        for _ in range(16):
-            split = 0.5 * (c0 + c1)
-            lo_cells = x[x <= split]
-            hi_cells = x[x > split]
-            c0 = float(lo_cells.mean()) if len(lo_cells) else c0
-            c1 = float(hi_cells.mean()) if len(hi_cells) else c1
-        lo_cells = x[x <= 0.5 * (c0 + c1)]
-        hi_cells = x[x > 0.5 * (c0 + c1)]
-        if len(lo_cells) < 2 or len(hi_cells) < 2 or c1 <= 1.2 * c0:
-            return None                     # no keying contrast
-        v0 = max(float(lo_cells.var()), 1e-4 * (c1 - c0) ** 2, 1e-30)
-        v1 = max(float(hi_cells.var()), v0)
-        llr = (-0.5 * (x - c1) ** 2 / v1 - 0.5 * np.log(v1)
-               + 0.5 * (x - c0) ** 2 / v0 + 0.5 * np.log(v0))
-        llr = np.clip(llr, -50.0, 50.0)
-        cum = np.concatenate([[0.0], np.cumsum(llr)])
+        if coherent:
+            cz = zd[: ncell * cell_n].reshape(ncell, cell_n).mean(axis=1)
+            cp = np.abs(cz) ** 2
+            v = max(float(np.quantile(cp, 0.3)) / 0.357, 1e-30)
+            if float(np.quantile(cp, 0.9)) < 2.0 * v:
+                return None                 # no coherent keying
+            cumz = np.concatenate([[0.0 + 0.0j], np.cumsum(cz)])
+            lam = 4.0   # per-mark model-complexity charge (chi^2_2)
+
+            def mark_sc(j, d):
+                s = cumz[j] - cumz[j - d]
+                return min((s.real * s.real + s.imag * s.imag)
+                           / (d * v), 50.0 * d) - lam
+        else:
+            # Gaussian emission model (cells average many power
+            # samples): fit the space/mark modes by 2-means, then
+            # per-cell LLR under the two fitted Gaussians.  Scale
+            # adapts naturally: strong signals give huge |LLR| (timing
+            # becomes flexible), weak ones give small |LLR| (the
+            # duration grammar carries the decode).
+            c0, c1 = float(x.min()), float(x.max())
+            for _ in range(16):
+                split = 0.5 * (c0 + c1)
+                lo_cells = x[x <= split]
+                hi_cells = x[x > split]
+                c0 = float(lo_cells.mean()) if len(lo_cells) else c0
+                c1 = float(hi_cells.mean()) if len(hi_cells) else c1
+            lo_cells = x[x <= 0.5 * (c0 + c1)]
+            hi_cells = x[x > 0.5 * (c0 + c1)]
+            if len(lo_cells) < 2 or len(hi_cells) < 2 or c1 <= 1.2 * c0:
+                return None                 # no keying contrast
+            v0 = max(float(lo_cells.var()), 1e-4 * (c1 - c0) ** 2,
+                     1e-30)
+            v1 = max(float(hi_cells.var()), v0)
+            llr = (-0.5 * (x - c1) ** 2 / v1 - 0.5 * np.log(v1)
+                   + 0.5 * (x - c0) ** 2 / v0 + 0.5 * np.log(v0))
+            llr = np.clip(llr, -50.0, 50.0)
+            cum = np.concatenate([[0.0], np.cumsum(llr)])
+
+            def mark_sc(j, d):
+                return cum[j] - cum[j - d]
 
         # element grammar: marks and spaces alternate; durations in
         # quarter-dot cells around the 1:3:7 grid
@@ -297,7 +353,7 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
             arg = (0, 0)
             for t, (_, nom, (dlo, dhi)) in enumerate(MARKS):
                 for d in range(dlo, min(dhi, j) + 1):
-                    sc = bs[j - d] + (cum[j] - cum[j - d]) + durpen(d, nom)
+                    sc = bs[j - d] + mark_sc(j, d) + durpen(d, nom)
                     if sc > best:
                         best = sc
                         arg = (t, d)
@@ -397,10 +453,21 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
     # find_good_dashes correlation scan selects the dash length
     # (cwspeed.c:496).
     if wpm_hint:
-        cands = [float(wpm_hint)]
+        speeds = [float(wpm_hint)]
     else:
-        cands = [c for c in (wpm, wpm * 2.0 / 3.0, wpm * 1.5)
-                 if 4.0 <= c <= 100.0]
+        # near the noise the estimators collapse to harmonics/aliases
+        # of the true speed (the -6 dB failure mode: estimate ~3x
+        # high); cover the dot/dash confusion aliases AND the
+        # harmonic-collapse divisors
+        raw = (wpm, wpm * 2.0 / 3.0, wpm * 1.5, wpm / 2.0, wpm / 3.0)
+        speeds = []
+        for c in raw:
+            if 4.0 <= c <= 100.0 and not any(
+                    abs(c - s) < 0.05 * s for s in speeds):
+                speeds.append(float(c))
+    cands = [(c, False) for c in speeds]
+    if is_complex:
+        cands += [(c, True) for c in speeds]
     # hypothesis selection by Morse-grid fit: decode each candidate,
     # then measure how tightly its mark durations cluster on the 1:3
     # dot/dash grid AT THAT SPEED (the discriminating statistic behind
@@ -418,14 +485,39 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
         return float(np.mean(devs))
 
     best = None
-    for c in cands:
-        r = _decode_at(c)
+    dbg = []
+    for c, coh in cands:
+        r = _decode_at(c, coherent=coh)
         if r is None:
             continue
         dev = _grid_dev(r[1])
-        if best is None or dev < best[0] - 0.02 or (
-                abs(dev - best[0]) <= 0.02 and r[0] > best[1]):
-            best = (dev, r[0], r[1])
+        # undecodable symbols ('#') mean the mark/space structure is
+        # broken even if the durations sit on a grid — charge them
+        # (the reference's check_cw plausibility guard, morse.c:77)
+        txt = r[1].text
+        n_sym = max(len(txt.replace(" ", "")), 1)
+        hash_pen = 0.6 * txt.count("#") / n_sym
+        # degenerate structure: a wrong (too fast) speed decodes noise
+        # as dash-spam ("T T MTT TTTT") whose durations still sit on a
+        # grid; real Morse text has a dot/dash mix (~55/45) — charge
+        # strongly skewed mark mixes
+        if r[1].marks:
+            dot_n = 1.2 / r[1].wpm * fs
+            n_dash = sum(1 for _st, ln in r[1].marks
+                         if ln > 2.0 * dot_n)
+            dash_frac = n_dash / len(r[1].marks)
+            skew_pen = 0.5 * max(0.0, dash_frac - 0.65) \
+                + 0.5 * max(0.0, 0.15 - dash_frac)
+        else:
+            skew_pen = 0.5
+        key = dev + hash_pen + skew_pen
+        dbg.append((key, dev, hash_pen, skew_pen, coh, c, r[0], txt))
+        if best is None or key < best[0] - 0.02 or (
+                abs(key - best[0]) <= 0.02 and r[0] > best[1]):
+            best = (key, r[0], r[1])
+    if "__cw_debug__" in globals() and globals()["__cw_debug__"]:
+        for row in sorted(dbg):
+            print("cand", row)
     if best is None:
         return base
     return best[2]

@@ -577,6 +577,18 @@ class TestWeakSignalQualification:
     def test_decodes_at_0db_second_seed(self):
         assert self._run_chain_decode(0.0, 1001) == self.MSG
 
+    def test_decodes_at_minus_6db_coherent(self):
+        """The coherent Viterbi scorer (|sum z|^2 prefix-sum matched
+        filtering of every candidate element) pushes the single-pass
+        threshold to -6 dB/2500 Hz — the former collapse point
+        (50-72 char errors with envelope statistics alone,
+        docs/WEAK_SIGNAL.md)."""
+        assert self._run_chain_decode(-6.0, 1001) == self.MSG
+        import difflib
+        got = self._run_chain_decode(-6.0, 1000)
+        assert difflib.SequenceMatcher(None, got, self.MSG).ratio() \
+            > 0.9, got
+
 
 class TestStackedDecode:
     """Repeated-message stacking (the QRSS/EME deep-integration regime,
@@ -623,9 +635,13 @@ class TestStackedDecode:
         assert self.TEXT in r.text
 
     def test_incoherent_stack_helps_without_phase(self):
-        """Phase-scrambled repeats (no coherence available): the
-        incoherent power stack still lifts a -8 dB signal to a mostly
-        readable decode while the single pass is pure noise."""
+        """No phase available at all (envelope-only input, e.g. a
+        post-detection recording): the incoherent power stack lifts a
+        -8 dB signal to a mostly readable decode while the single
+        envelope pass is garbled.  (The single COMPLEX pass now
+        decodes -8 dB by itself via the coherent in-repeat Viterbi
+        scorer — so the fair stacking comparison is envelope vs
+        stacked envelope.)"""
         from linrad_tpu.weak.cw import (decode_morse_ml, decode_stacked,
                                         refine_repeat_period)
         z, true_p = self._recording(16, -8)
@@ -635,7 +651,7 @@ class TestStackedDecode:
         blocks = z[: 16 * per].reshape(16, per).copy()
         blocks *= np.exp(2j * np.pi * rng.random(16))[:, None]
         z = blocks.reshape(-1)
-        single = decode_morse_ml(z, self.FS, wpm_hint=15.0)
+        single = decode_morse_ml(np.abs(z), self.FS, wpm_hint=15.0)
         stacked = decode_stacked(z, self.FS,
                                  refine_repeat_period(z, self.FS, true_p,
                                                       search=30),

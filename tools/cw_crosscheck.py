@@ -187,7 +187,11 @@ def main():
                 rf = "HANG" if r.get("hang") else "ERR"
                 rbit, rdash = "-", "-"
             elif r.get("spun"):
-                rf, rbit, rdash = "SPIN", "-", "-"
+                # the reference spun in an unbounded walk AFTER its
+                # detection work — report the partials it left behind
+                rf = "SPIN"
+                rbit = f"{r['cwbit_err_pct']:.1f}%*"
+                rdash = f"{r['n_dash']}/{r['n_dash_true']}*"
             else:
                 rf = f"{r['flag']}{'*' if r['established'] else ''}"
                 rbit = f"{r['cwbit_err_pct']:.1f}%"
