@@ -428,6 +428,8 @@ int ref_set_wg(const char *name, double val)
 }
 
 /* set a named baseband-graph parameter (filter/demod config) */
+extern int new_bg_coherent;   /* file-scope request, baseb_graph.c:75 */
+
 int ref_set_bg(const char *name, double val)
 {
   if (!strcmp(name, "bandwidth")) { bg.bandwidth = val; return 0; }
@@ -442,6 +444,10 @@ int ref_set_bg(const char *name, double val)
   if (!strcmp(name, "agc_release")) { bg.agc_release = val; return 0; }
   if (!strcmp(name, "agc_hang")) { bg.agc_hang = val; return 0; }
   if (!strcmp(name, "coherent")) { bg_coherent = val; return 0; }
+  /* the ACTIVE coherent mode is derived inside init_baseband_sizes
+   * (baseb_graph.c:3086-3152: channel count + buffer layout follow);
+   * set the REQUEST here, then retune so the derivation runs */
+  if (!strcmp(name, "new_coherent")) { new_bg_coherent = val; return 0; }
   if (!strcmp(name, "fm_mode")) { bg.fm_mode = val; return 0; }
   if (!strcmp(name, "mixer_mode")) { bg.mixer_mode = val; return 0; }
   if (!strcmp(name, "coh_factor")) { bg.coh_factor = val; return 0; }
