@@ -738,8 +738,12 @@ def decode_stacked(baseband: np.ndarray, fs: float, period_s: float,
     AFC-locked carrier is phase-stable across the recording — the EME
     coherent-averaging regime, z_MORSE_DECODING.txt / coherent.c)."""
     if coherent:
-        amp = np.abs(stack_repeats(baseband, fs, period_s,
-                                   coherent=True))
+        # keep the COMPLEX stack: decode_morse_ml's coherent Viterbi
+        # scorer then matched-filters every candidate element on the
+        # stacked baseband (phase survives the coherent average)
+        zs = stack_repeats(baseband, fs, period_s, coherent=True)
+        return decode_morse_ml(np.concatenate([zs, zs]), fs,
+                               wpm_hint=wpm_hint)
     else:
         pwr = stack_repeats(baseband, fs, period_s, coherent=False)
         # the incoherent stack carries the mean noise power as a

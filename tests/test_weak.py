@@ -634,6 +634,17 @@ class TestStackedDecode:
         r = decode_stacked(z, self.FS, p, wpm_hint=15.0, coherent=True)
         assert self.TEXT in r.text
 
+    def test_known_period_coherent_stack_at_minus_20db(self):
+        """Coherent stack + the coherent Viterbi scorer compose:
+        10·log10(64) ≈ 18 dB of stack gain over the −6 dB single-pass
+        threshold.  (Measured clean to −28 dB at 192 repeats,
+        docs/WEAK_SIGNAL.md; −20 dB/64 reps pinned with margin.)"""
+        from linrad_tpu.weak.cw import decode_stacked, refine_repeat_period
+        z, true_p = self._recording(64, -20)
+        p = refine_repeat_period(z, self.FS, true_p, search=30)
+        r = decode_stacked(z, self.FS, p, wpm_hint=15.0, coherent=True)
+        assert self.TEXT in r.text
+
     def test_incoherent_stack_helps_without_phase(self):
         """No phase available at all (envelope-only input, e.g. a
         post-detection recording): the incoherent power stack lifts a
