@@ -37,6 +37,21 @@ N_STEPS = 4          # thread state across several steps, not just one
 TOL_REL = 2e-3       # float32 accumulation across a 2^22-point chain
 
 
+def _retry(fn, tries: int = 4, wait_s: float = 20.0):
+    """The axon backend's transfer paths fail in bursts (CLAUDE.md
+    2026-08-21 notes); retry a transfer a few times before giving up."""
+    import time
+    last = None
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:              # jax RuntimeError
+            last = e
+            if i + 1 < tries:
+                time.sleep(wait_s)
+    raise last
+
+
 def run_steps(n_steps: int = N_STEPS) -> dict[str, np.ndarray]:
     """Run the entry() chain for n_steps with deterministic inputs,
     threading state; returns stacked per-step outputs."""
@@ -49,17 +64,21 @@ def run_steps(n_steps: int = N_STEPS) -> dict[str, np.ndarray]:
     stepj = jax.jit(step)
     n = block0.shape[0]
     rng = np.random.default_rng(7)
-    outs = {"audio": [], "fft2_power": [], "liminfo": [],
-            "noise_floor": []}
+    sigs = []
     for i in range(n_steps):
         sig = (rng.normal(size=(n, 1)) + 1j * rng.normal(size=(n, 1))
                ).astype(np.complex64)
         sig[:: 9973 + i] += 25.0       # pulses: the blanker does work
-        state, out = stepj(tables, state, jnp.asarray(sig), tune)
-        outs["audio"].append(np.asarray(out.audio))
-        outs["fft2_power"].append(np.asarray(out.fft2_power))
-        outs["liminfo"].append(np.asarray(out.liminfo))
-        outs["noise_floor"].append(np.asarray(out.noise_floor))
+        sigs.append(sig)
+    blocks = [_retry(lambda s=s: jax.block_until_ready(jnp.asarray(s)))
+              for s in sigs]
+    outs = {"audio": [], "fft2_power": [], "liminfo": [],
+            "noise_floor": []}
+    for i in range(n_steps):
+        state, out = stepj(tables, state, blocks[i], tune)
+        for k in outs:
+            v = getattr(out, k)
+            outs[k].append(_retry(lambda v=v: np.asarray(v)))
     return {k: np.stack(v) for k, v in outs.items()}
 
 
