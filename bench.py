@@ -77,7 +77,8 @@ def bench_tpu(steps: int = 150, warmup: int = 10, windows: int = 3,
            + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
            ).astype(np.complex64)
     sig[::9973] += 30.0  # pulses so the blanker does real work
-    block = jnp.asarray(sig[:, None])
+    from linrad_tpu.utils.xfer import device_complex
+    block = device_complex(sig[:, None])
     tune = jnp.asarray(1024, jnp.int32)
 
     for _ in range(warmup):
@@ -139,7 +140,8 @@ def bench_tpu_batched(k_steps: int = 16, dispatches: int = 12,
            + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
            ).astype(np.complex64)
     sig[::9973] += 30.0  # pulses so the blanker does real work
-    blocks = jnp.asarray(
+    from linrad_tpu.utils.xfer import device_complex
+    blocks = device_complex(
         np.broadcast_to(sig[None, :, None], (k_steps, n, 1)).copy())
     tune = jnp.asarray(1024, jnp.int32)
 
@@ -183,7 +185,8 @@ def bench_sharded_1dev(k_steps: int = 16, dispatches: int = 6,
            + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
            ).astype(np.complex64)
     sig[::9973] += 30.0
-    blocks = jnp.asarray(
+    from linrad_tpu.utils.xfer import device_complex
+    blocks = device_complex(
         np.broadcast_to(sig[None, :, None], (k_steps, n, 1)).copy())
     state = sb.state
     for _ in range(2):
@@ -414,8 +417,9 @@ def bench_scaling(k_steps: int = 8, dispatches: int = 6,
         sig = (np.exp(2j * np.pi * 0.13 * t)
                + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
                ).astype(np.complex64)
+        from linrad_tpu.utils.xfer import device_complex
         blocks = jax.device_put(
-            jnp.asarray(np.broadcast_to(
+            device_complex(np.broadcast_to(
                 sig[None, :, None], (k_steps, n, 1)).copy()),
             sb._blocks_sharding)
         state = sb.state
@@ -445,7 +449,8 @@ def bench_scaling(k_steps: int = 8, dispatches: int = 6,
         sig = (np.exp(2j * np.pi * 0.13 * t)
                + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
                ).astype(np.complex64)
-        blocks = jnp.asarray(np.broadcast_to(
+        from linrad_tpu.utils.xfer import device_complex
+        blocks = device_complex(np.broadcast_to(
             sig[None, None, :, None], (k_steps, d, n, 1)).copy())
         blocks = jax.device_put(blocks, fl._stream_sharding)
         state = fl.state

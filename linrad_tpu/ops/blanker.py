@@ -98,7 +98,9 @@ class BlankerTables:
         if freq_response is None:
             freq_response = np.ones(geo.fft1_size, np.complex128)
         bank, pf, pw = make_refpulse_bank(freq_response, pul_size)
-        return (cls(refbank=jnp.asarray(bank), phasefunc=jnp.asarray(pf)),
+        from ..utils.xfer import device_complex
+        return (cls(refbank=device_complex(bank),
+                    phasefunc=device_complex(pf)),
                 pw)
 
 

@@ -48,13 +48,15 @@ class FFT1Tables:
             fc = np.asarray(filtercorr, np.complex64)
             if fc.ndim == 1:
                 fc = fc[:, None]
+        from ..utils.xfer import device_complex
         iq = None
         if iq_corr is not None:
             iq = np.asarray(iq_corr, np.complex64)
             if iq.ndim == 1:
                 iq = iq[:, None]
-            iq = jnp.asarray(iq)
-        return cls(window=jnp.asarray(win), filtercorr=jnp.asarray(fc),
+            iq = device_complex(iq)
+        return cls(window=jnp.asarray(win),
+                   filtercorr=device_complex(fc),
                    iq_corr=iq)
 
 

@@ -146,7 +146,8 @@ class Mix2Tables:
         m2 = geo.mix2_size
         interleave = m2 - geo.mix2_new_points
         syn = synthesis_weights(m2, interleave, geo.fft3_sinpow)
-        fir = (jnp.asarray(basebraw_fir(geo, p))
+        from ..utils.xfer import device_complex
+        fir = (device_complex(basebraw_fir(geo, p))
                if getattr(p, "mixer_mode", 1) == 2 else None)
         return cls(filt=jnp.asarray(filt), carr_filt=jnp.asarray(carr),
                    syn=jnp.asarray(syn, jnp.float32), fir=fir)

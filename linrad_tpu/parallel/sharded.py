@@ -582,8 +582,9 @@ class ShardedReceiver:
         self.control.on_tune(freq_hz)
 
     def process_block(self, block) -> RxOutputs:
-        dt = jnp.complex64 if self.geo.iq_input else jnp.float32
-        block = jnp.asarray(block, dt)
+        from ..utils.xfer import device_complex
+        block = (device_complex(block) if self.geo.iq_input
+                 else jnp.asarray(block, jnp.float32))
         if block.ndim == 1:
             block = block[:, None]
         block = jax.device_put(block, self._block_sharding)
@@ -657,8 +658,9 @@ class ShardedMultiReceiver:
         self._tune_bins[k] = int(round(freq_hz / fs * n)) % n
 
     def process_block(self, block) -> RxOutputs:
-        dt = jnp.complex64 if self.geo.iq_input else jnp.float32
-        block = jnp.asarray(block, dt)
+        from ..utils.xfer import device_complex
+        block = (device_complex(block) if self.geo.iq_input
+                 else jnp.asarray(block, jnp.float32))
         if block.ndim == 1:
             block = block[:, None]
         block = jax.device_put(block, self._block_sharding)
@@ -743,7 +745,8 @@ class ShardedBatchRunner:
         per = self.samples_per_call
         collected: dict[str, list] = {f: [] for f in self.outputs}
         for i in range(iq.shape[0] // per):
-            seg = jnp.asarray(iq[i * per:(i + 1) * per], jnp.complex64)
+            from ..utils.xfer import device_complex
+            seg = device_complex(iq[i * per:(i + 1) * per])
             blocks = jax.device_put(
                 seg.reshape(self.k, s, self.geo.channels),
                 self._blocks_sharding)

@@ -76,7 +76,8 @@ class BatchRunner:
         per = self.samples_per_call
         collected: dict[str, list] = {f: [] for f in self.outputs}
         for i in range(iq.shape[0] // per):
-            seg = jnp.asarray(iq[i * per:(i + 1) * per], jnp.complex64)
+            from ..utils.xfer import device_complex
+            seg = device_complex(iq[i * per:(i + 1) * per])
             blocks = seg.reshape(self.k, s, self.geo.channels)
             self.state, outs = self._run_k(self.tables, self.state,
                                            blocks, self._tune_bin)

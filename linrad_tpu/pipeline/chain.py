@@ -67,7 +67,8 @@ class RxTables:
         if p.spur_enable:
             sinpow = (geo.fft2_sinpow if geo.second_fft_enable
                       else geo.fft1_sinpow)
-            spur_tpl = jnp.asarray(
+            from ..utils.xfer import device_complex
+            spur_tpl = device_complex(
                 window_template_table(geo.fftx_size, sinpow))
         return cls(fft1=FFT1Tables.create(
                        geo, filtercorr=calibration.get("filtercorr"),

@@ -109,7 +109,8 @@ def measure_latency(params: RxParams, steps: int = 100,
     n = geo.samples_per_step
     sig = (0.1 * (rng.normal(size=n) + 1j * rng.normal(size=n))
            ).astype(np.complex64)
-    block = jnp.asarray(sig[:, None])
+    from ..utils.xfer import device_complex
+    block = device_complex(sig[:, None])
     tune = jnp.asarray(64, jnp.int32)
     for _ in range(warmup):
         state, out = step(tables, state, block, tune)

@@ -181,7 +181,8 @@ class Receiver:
         or (2*samples_per_step, C) float32 in real-input mode
         (timf1_sampling_speed is half the A/D rate, buf.c:47-51)."""
         if self.geo.iq_input:
-            block = jnp.asarray(block, jnp.complex64)
+            from ..utils.xfer import device_complex
+            block = device_complex(block)
             expect = self.geo.samples_per_step
         else:
             block = jnp.asarray(block, jnp.float32)
@@ -384,8 +385,9 @@ class MultiReceiver:
 
     def process_block(self, block) -> RxOutputs:
         """One step; outputs.audio/baseb/agc_gain have shape (K, S, C)."""
-        dt = jnp.complex64 if self.geo.iq_input else jnp.float32
-        block = jnp.asarray(block, dt)
+        from ..utils.xfer import device_complex
+        block = (device_complex(block) if self.geo.iq_input
+                 else jnp.asarray(block, jnp.float32))
         if block.ndim == 1:
             block = block[:, None]
         (self.state, self.nbs), out = self._step(

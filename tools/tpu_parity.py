@@ -70,7 +70,8 @@ def run_steps(n_steps: int = N_STEPS) -> dict[str, np.ndarray]:
                ).astype(np.complex64)
         sig[:: 9973 + i] += 25.0       # pulses: the blanker does work
         sigs.append(sig)
-    blocks = [_retry(lambda s=s: jax.block_until_ready(jnp.asarray(s)))
+    from linrad_tpu.utils.xfer import device_complex
+    blocks = [_retry(lambda s=s: jax.block_until_ready(device_complex(s)))
               for s in sigs]
     outs = {"audio": [], "fft2_power": [], "liminfo": [],
             "noise_floor": []}
