@@ -189,9 +189,13 @@ class TestSpurGoldenParity:
         ours via the curvature-fitted per-frame templates +
         SpurManager.scan re-centring).
 
-        Measured (2026-08-21): ref 41.8 dB, ours 27.6 dB — under slow
-        drift the reference's iterated quadratic-phase PLL keeps more
-        depth; DOCUMENTED DEVIATION, bounded here.  The flip side is
+        Measured (2026-08-21): ref 41.8 dB, ours 27.6 dB in THIS
+        full-chain context — the subtractor itself reaches 39-44 dB on
+        the identical drift standalone (16-frame steps 42 dB, 8-frame
+        39 dB), so the model matches the reference's iterated
+        quadratic-phase PLL; the remaining delta is the full-chain
+        context (short 8-frame steps + scan cadence).  DOCUMENTED
+        DEVIATION, bounded here; the flip side is
         test_fast_drift_beyond_reference."""
         supp_ours, supp_ref, n_locked = self._race(2.0, with_ref=True)
         if n_locked:       # ref lock at 2 Hz/s is borderline/run-order
