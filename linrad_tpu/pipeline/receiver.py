@@ -331,11 +331,12 @@ class Receiver:
 
     def process(self, iq: np.ndarray) -> dict[str, np.ndarray]:
         """Convenience: process a whole recording, concatenate outputs."""
+        from ..utils.xfer import fetch
         audio, baseb, gains = [], [], []
         power = None
         for out in self.run(iq):
             audio.append(np.asarray(out.audio))
-            baseb.append(np.asarray(out.baseb))
+            baseb.append(fetch(out.baseb))
             gains.append(np.asarray(out.agc_gain))
             power = np.asarray(out.fft1_avg_power)
         return {
