@@ -134,16 +134,18 @@ def main():
         state = RxState.create(geo)
         state, accs = fn(tables, state, blocks, tune)   # compile+warm
         jax.block_until_ready(accs)
+        reps = 1 if quick else 16
+        wins = 2 if quick else 6
         best = float("inf")
-        for _ in range(2 if quick else 4):
+        for _ in range(wins):
             state = RxState.create(geo)
             t0 = time.perf_counter()
-            for _ in range(1 if quick else 4):
+            for _ in range(reps):
                 state, accs = fn(tables, state, blocks, tune)
             jax.block_until_ready(accs)
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, (time.perf_counter() - t0) / reps)
         times[stop] = best
-        print(f"cumulative through {stop}: {best * 1e3:.2f} ms",
+        print(f"cumulative through {stop}: {best * 1e3:.3f} ms/dispatch",
               flush=True)
     full = times["full"]
     shares = {}
