@@ -509,6 +509,10 @@ def main():
     for fn, overrides in (
             (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
                                      blanker_rounds=8,
+                                     target_fft1_frames_per_step=3072,
+                                     max_pulses_per_block=512)),
+            (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
+                                     blanker_rounds=8,
                                      target_fft1_frames_per_step=2560,
                                      max_pulses_per_block=512)),
             (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
