@@ -511,6 +511,10 @@ def main():
                                      blanker_rounds=8,
                                      target_fft1_frames_per_step=3072,
                                      max_pulses_per_block=512)),
+            (bench_tpu_batched, dict(k_steps=56, dispatches=6, windows=6,
+                                     blanker_rounds=8,
+                                     target_fft1_frames_per_step=3072,
+                                     max_pulses_per_block=512)),
             (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
                                      blanker_rounds=8,
                                      target_fft1_frames_per_step=2560,
