@@ -52,17 +52,7 @@ def _retry(fn, tries: int = 4, wait_s: float = 20.0):
     raise last
 
 
-def run_steps(n_steps: int = N_STEPS) -> dict[str, np.ndarray]:
-    """Run the entry() chain for n_steps with deterministic inputs,
-    threading state; returns stacked per-step outputs."""
-    import jax
-    import jax.numpy as jnp
-
-    import __graft_entry__ as ge
-
-    step, (tables, state, block0, tune) = ge.entry()
-    stepj = jax.jit(step)
-    n = block0.shape[0]
+def _make_inputs(n: int, n_steps: int) -> list[np.ndarray]:
     rng = np.random.default_rng(7)
     sigs = []
     for i in range(n_steps):
@@ -70,17 +60,79 @@ def run_steps(n_steps: int = N_STEPS) -> dict[str, np.ndarray]:
                ).astype(np.complex64)
         sig[:: 9973 + i] += 25.0       # pulses: the blanker does work
         sigs.append(sig)
+    return sigs
+
+
+def _run_steps_on_device(n_steps: int = N_STEPS) -> dict[str, list]:
+    """Run the entry() chain for n_steps with deterministic inputs,
+    threading state; returns per-step outputs still ON DEVICE."""
+    import jax
+
+    import __graft_entry__ as ge
+
+    step, (tables, state, block0, tune) = ge.entry()
+    stepj = jax.jit(step)
     from linrad_tpu.utils.xfer import device_complex
     blocks = [_retry(lambda s=s: jax.block_until_ready(device_complex(s)))
-              for s in sigs]
+              for s in _make_inputs(block0.shape[0], n_steps)]
     outs = {"audio": [], "fft2_power": [], "liminfo": [],
             "noise_floor": []}
     for i in range(n_steps):
         state, out = stepj(tables, state, blocks[i], tune)
         for k in outs:
-            v = getattr(out, k)
-            outs[k].append(_retry(lambda v=v: np.asarray(v)))
-    return {k: np.stack(v) for k, v in outs.items()}
+            outs[k].append(getattr(out, k))
+    return outs
+
+
+def run_steps(n_steps: int = N_STEPS) -> dict[str, np.ndarray]:
+    """As _run_steps_on_device but fetched to host (used for the CPU
+    golden dump and the --full host-side compare)."""
+    outs = _run_steps_on_device(n_steps)
+    return {k: np.stack([_retry(lambda v=v: np.asarray(v)) for v in v_l])
+            for k, v_l in outs.items()}
+
+
+def device_compare(cpu: dict[str, np.ndarray],
+                   n_steps: int = N_STEPS) -> dict:
+    """VERDICT r4 #2 fallback: the axon backend's device->host transfers
+    fail in bursts AFTER a chain executable has run in the process, so
+    fetching four full output tensors per step rarely survives.  Instead
+    upload the CPU goldens (float32 — the working transfer direction),
+    compute the scale-normalised max deviations ON DEVICE, and fetch one
+    tiny (3,) vector with retries — one scalar-sized fetch per gate
+    instead of 16 tensor fetches."""
+    import jax
+    import jax.numpy as jnp
+
+    # upload goldens BEFORE running the chain (uploads are healthiest at
+    # process start; all compared outputs are real float32)
+    gold = {k: [_retry(lambda a=a: jax.block_until_ready(
+        jnp.asarray(np.ascontiguousarray(a), jnp.float32)))
+        for a in cpu[k]] for k in ("audio", "fft2_power", "liminfo")}
+    here = _run_steps_on_device(n_steps)
+
+    @jax.jit
+    def _maxabs(x, y):
+        d = jnp.max(jnp.abs(x - y))
+        s = jnp.maximum(jnp.max(jnp.abs(x)), jnp.max(jnp.abs(y)))
+        return d, s
+
+    rels = []
+    for k in ("audio", "fft2_power", "liminfo"):
+        ds, ss = [], []
+        for g, h in zip(gold[k], here[k]):
+            d, s = _maxabs(g, h.astype(jnp.float32))
+            ds.append(d)
+            ss.append(s)
+        rels.append(jnp.max(jnp.stack(ds))
+                    / jnp.maximum(jnp.max(jnp.stack(ss)), 1e-30))
+    vec = jnp.stack(rels)   # (3,) — the ONLY device->host fetch
+    got = _retry(lambda: np.asarray(vec), tries=10, wait_s=30.0)
+    rep = {"max_rel_audio": float(got[0]), "max_rel_fft2": float(got[1]),
+           "max_rel_liminfo": float(got[2]), "compare": "on-device"}
+    rep["ok"] = all(v < TOL_REL for k, v in rep.items()
+                    if k.startswith("max_rel"))
+    return rep
 
 
 def compare(a: dict, b: dict) -> dict:
@@ -111,8 +163,10 @@ def main() -> dict:
         print(json.dumps(rep))
         return rep
 
-    # full gate: current backend here, CPU in a subprocess
-    here = run_steps()
+    # full gate: CPU golden in a subprocess first (pure-CPU, immune to
+    # the backend's health), then compare on the current backend.
+    # Default is the on-device compare (one tiny fetch); --full keeps
+    # the fetch-everything host-side compare.
     with tempfile.TemporaryDirectory() as td:
         cpu_npz = os.path.join(td, "cpu.npz")
         env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -128,9 +182,24 @@ def main() -> dict:
         with np.load(cpu_npz) as z:
             cpu = dict(z)
     import jax
-    rep = compare(here, cpu)
+    if "--full" in sys.argv:
+        rep = compare(run_steps(), cpu)
+    else:
+        rep = device_compare(
+            {k: [cpu[k][i] for i in range(cpu[k].shape[0])]
+             for k in ("audio", "fft2_power", "liminfo")})
     rep["backend"] = jax.devices()[0].platform
     rep["n_steps"] = N_STEPS
+    if rep.get("ok") and rep["backend"] != "cpu":
+        # persist the proof: bench.py reads TPU_PARITY.json as the
+        # carry-forward when a live gate cannot complete (VERDICT r4 #2)
+        import time
+        rep["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TPU_PARITY.json")
+        with open(out, "w") as f:
+            json.dump(rep, f, indent=1)
     print(json.dumps(rep))
     return rep
 
