@@ -347,14 +347,27 @@ def bench_xlinrad(max_seconds: float = 20.0) -> float | None:
     return done * chunk / dt / 1e6
 
 
-def chain_flops_per_sample(geo) -> float:
-    """Analytic FLOPs per input sample through the wideband+narrowband
-    chain (complex radix FFT ≈ 5·N·log2(N) real FLOPs), for roofline
-    accounting.  Windowing/calibration/blanker/elementwise work is
-    counted at 1 complex MAC (8 FLOPs) per touch."""
+def chain_flops_per_sample(geo, executed: bool = False) -> float:
+    """FLOPs per input sample through the wideband+narrowband chain.
+
+    executed=False: ANALYTIC accounting — complex radix FFT ≈
+    5·N·log2(N) real FLOPs (the classical FFT-equivalent work; use for
+    cross-implementation comparisons).
+
+    executed=True: the FLOPs the DEFAULT variant selection actually
+    executes (VERDICT r4 #7): transforms of size ≤ MXU_FFT_MAX_SIZE run
+    as DFT matmuls on the MXU — 4 real (B,N)x(N,N) matmuls = 8·N² real
+    FLOPs per transform (ops/fft.py _matmul_fft) — while larger sizes
+    take XLA's FFT at 5·N·log2(N).  Windowing/calibration/blanker/
+    elementwise work is counted at 1 complex MAC (8 FLOPs) per touch in
+    both modes."""
     import math
 
     def fft(n):
+        if executed:
+            from linrad_tpu.ops.fft import MXU_FFT_MAX_SIZE
+            if n <= MXU_FFT_MAX_SIZE:
+                return 8.0 * n * n
         return 5.0 * n * math.log2(n)
 
     f = 0.0
@@ -379,13 +392,70 @@ def chain_flops_per_sample(geo) -> float:
 
 def bench_roofline(msps: float, **overrides) -> dict:
     """Translate a measured Msamples/s into achieved TFLOP/s through
-    the chain (the BASELINE 'kernels at roofline' accounting)."""
+    the chain — BOTH accountings (VERDICT r4 #7): analytic_tflops uses
+    FFT-equivalent 5·N·log2(N) work; executed_tflops counts the matmul
+    FLOPs the default MXU DFT variant actually issues, so the
+    MXU-residency claim is checkable against hardware peak."""
     from linrad_tpu import derive_geometry
 
     geo = derive_geometry(_params(**overrides))
     fps = chain_flops_per_sample(geo)
+    fps_x = chain_flops_per_sample(geo, executed=True)
     return {"flops_per_sample": round(fps, 1),
-            "achieved_tflops": round(msps * 1e6 * fps / 1e12, 1)}
+            "executed_flops_per_sample": round(fps_x, 1),
+            "achieved_tflops": round(msps * 1e6 * fps / 1e12, 1),
+            "analytic_tflops": round(msps * 1e6 * fps / 1e12, 1),
+            "executed_tflops": round(msps * 1e6 * fps_x / 1e12, 1)}
+
+
+def bench_fetch_verified(k_steps: int = 16, dispatches: int = 3,
+                         **overrides) -> dict:
+    """Timing-integrity probe: time dispatches INCLUDING a device->host
+    fetch of a scalar reduced from the final dispatch's outputs.
+
+    block_until_ready-only timing trusts the backend's buffer-readiness
+    signal; on this experimental tunnel backend that has never been
+    cross-checked against a value actually arriving on the host.  Since
+    every dispatch chains state, fetching one scalar from the LAST
+    dispatch's output bounds the true completion time of ALL dispatches.
+    Reports both timings; a large ratio means buffer-readiness resolves
+    before the computation's value is actually available."""
+    import jax
+    import jax.numpy as jnp
+
+    from linrad_tpu.pipeline.batch import BatchRunner
+
+    br = BatchRunner(_params(**overrides), k_steps=k_steps,
+                     outputs=("audio",))
+    n = br.geo.samples_per_step
+    rng = np.random.default_rng(0)
+    t = np.arange(n)
+    sig = (np.exp(2j * np.pi * 0.13 * t)
+           + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+           ).astype(np.complex64)
+    sig[::9973] += 30.0
+    from linrad_tpu.utils.xfer import device_complex
+    blocks = device_complex(
+        np.broadcast_to(sig[None, :, None], (k_steps, n, 1)).copy())
+    tune = jnp.asarray(1024, jnp.int32)
+    state = br.state
+    for _ in range(2):
+        state, outs = br._run_k(br.tables, state, blocks, tune)
+    jax.block_until_ready(outs)
+    float(jnp.sum(outs[0][-1]))          # warm the reduce + fetch path
+    t0 = time.perf_counter()
+    for _ in range(dispatches):
+        state, outs = br._run_k(br.tables, state, blocks, tune)
+    jax.block_until_ready(outs)
+    t_block = time.perf_counter() - t0
+    s = jnp.sum(outs[0][-1])             # depends on every dispatch
+    chk = float(np.asarray(s))           # true completion barrier
+    t_fetch = time.perf_counter() - t0
+    total = dispatches * k_steps * n
+    return {"msps_block_until_ready": round(total / t_block / 1e6, 2),
+            "msps_fetch_verified": round(total / t_fetch / 1e6, 2),
+            "fetch_over_block_ratio": round(t_fetch / t_block, 2),
+            "checksum_finite": bool(np.isfinite(chk))}
 
 
 def bench_scaling(k_steps: int = 8, dispatches: int = 6,
@@ -480,86 +550,94 @@ def bench_scaling(k_steps: int = 8, dispatches: int = 6,
     return out
 
 
+# The candidate ladder, fastest-first.  Step size is a pure batching
+# knob (the reference's user-set DMA interrupt rate analog;
+# tests/test_chain.py step-size invariance), so throughput mode uses
+# large steps: fixed dispatch overhead is ~100 us through the tunnel
+# and the chain is overhead-dominated at small steps.  Module-level so
+# tools/warm_cache.py warms EXACTLY this list's head (VERDICT r4 weak
+# #2: a stale warmer leaves the ladder head cold and each cold entry
+# burns its whole alarm on a hung fresh compile).
+CANDIDATES = (
+    (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
+                             blanker_rounds=8,
+                             target_fft1_frames_per_step=3072,
+                             max_pulses_per_block=512)),
+    (bench_tpu_batched, dict(k_steps=56, dispatches=6, windows=6,
+                             blanker_rounds=8,
+                             target_fft1_frames_per_step=3072,
+                             max_pulses_per_block=512)),
+    (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
+                             blanker_rounds=8,
+                             target_fft1_frames_per_step=2560,
+                             max_pulses_per_block=512)),
+    (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
+                             blanker_rounds=8,
+                             target_fft1_frames_per_step=2048,
+                             max_pulses_per_block=512)),
+    (bench_tpu_batched, dict(k_steps=32, dispatches=6, windows=6,
+                             blanker_rounds=8,
+                             target_fft1_frames_per_step=2048,
+                             max_pulses_per_block=512)),
+    (bench_tpu_batched, dict(blanker_rounds=8,
+                             target_fft1_frames_per_step=2048,
+                             max_pulses_per_block=512)),
+    (bench_tpu_batched, dict(blanker_rounds=8,
+                             target_fft1_frames_per_step=1024,
+                             max_pulses_per_block=256)),
+    (bench_tpu_batched, dict(blanker_block_size=256, blanker_rounds=8)),
+    (bench_tpu_batched, dict(blanker_block_size=256)),
+    (bench_tpu_batched, dict(blanker_block_size=0)),
+    (bench_tpu, dict(blanker_block_size=0)),
+)
+
+
+def _candidate_worker(idx: int) -> None:
+    """Run CANDIDATES[idx] and print '@@'+JSON — invoked in a
+    subprocess by main() so a HUNG remote compile (which blocks SIGALRM
+    forever: signals only fire on return to the interpreter) can be
+    hard-killed without losing the round's artifact."""
+    fn, overrides = CANDIDATES[idx]
+    v = fn(**overrides)
+    print("@@" + json.dumps({"msps": v, "windows": list(LAST_WINDOWS)}),
+          flush=True)
+
+
 def main():
-    # batched throughput mode is the headline.  Candidate configs are
-    # tried fastest-first; any whose fresh compile hits the intermittent
-    # environmental TPU-backend failure (CLAUDE.md) is skipped, ending
-    # with the known-cached flat-blanker executables.
+    # The artifact must land UNCONDITIONALLY (VERDICT r4 #1): a
+    # sentinel JSON line prints BEFORE any device work, the headline
+    # line immediately after the first successful candidate, the
+    # enriched line at the end (the driver parses the LAST line, so
+    # each better line supersedes the previous).  Total wall clock is
+    # bounded by BENCH_BUDGET_S (default 480 s) and EVERY device-
+    # touching stage runs in a hard-killable subprocess: rehearsal
+    # showed an in-process hung compile never returns to the
+    # interpreter, so no in-process alarm can bound it.  Reference
+    # anchor: telemetry is always-on (menu.c:914-957) — a benchmark
+    # that can fail to report is not telemetry.
     import signal
+    import subprocess
+
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+    def left() -> float:
+        return budget - (time.perf_counter() - t_start)
 
     def _with_timeout(fn, seconds, **kw):
         def raise_timeout(signum, frame):
             raise TimeoutError(f"{fn.__name__} exceeded {seconds}s")
         old = signal.signal(signal.SIGALRM, raise_timeout)
-        signal.alarm(seconds)
+        signal.alarm(int(seconds))
         try:
             return fn(**kw)
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
-    # step size is a pure batching knob (the reference's user-set DMA
-    # interrupt rate analog; tests/test_chain.py step-size invariance),
-    # so throughput mode uses large steps: fixed dispatch overhead is
-    # ~100 us through the tunnel and the chain is overhead-dominated at
-    # small steps (256-frame steps: 45 Gsps; 2048: 292 Gsps measured)
-    tpu_msps = 0.0
-    win_fn, win_cfg = None, None
-    win_windows: list = []
-    for fn, overrides in (
-            (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
-                                     blanker_rounds=8,
-                                     target_fft1_frames_per_step=3072,
-                                     max_pulses_per_block=512)),
-            (bench_tpu_batched, dict(k_steps=56, dispatches=6, windows=6,
-                                     blanker_rounds=8,
-                                     target_fft1_frames_per_step=3072,
-                                     max_pulses_per_block=512)),
-            (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
-                                     blanker_rounds=8,
-                                     target_fft1_frames_per_step=2560,
-                                     max_pulses_per_block=512)),
-            (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
-                                     blanker_rounds=8,
-                                     target_fft1_frames_per_step=2048,
-                                     max_pulses_per_block=512)),
-            (bench_tpu_batched, dict(k_steps=32, dispatches=6, windows=6,
-                                     blanker_rounds=8,
-                                     target_fft1_frames_per_step=2048,
-                                     max_pulses_per_block=512)),
-            (bench_tpu_batched, dict(blanker_rounds=8,
-                                     target_fft1_frames_per_step=2048,
-                                     max_pulses_per_block=512)),
-            (bench_tpu_batched, dict(blanker_rounds=8,
-                                     target_fft1_frames_per_step=1024,
-                                     max_pulses_per_block=256)),
-            (bench_tpu_batched, dict(blanker_block_size=256,
-                                     blanker_rounds=8)),
-            (bench_tpu_batched, dict(blanker_block_size=256)),
-            (bench_tpu_batched, dict(blanker_block_size=0)),
-            (bench_tpu, dict(blanker_block_size=0)),
-    ):
-        try:
-            got = _with_timeout(fn, 420, **overrides)
-            if got > tpu_msps:
-                tpu_msps, win_fn, win_cfg = got, fn.__name__, overrides
-                win_windows = list(LAST_WINDOWS)
-            if tpu_msps > 0:
-                break
-        except Exception:
-            continue
-    if tpu_msps == 0.0:  # every candidate failed: last-ditch retry
-        tpu_msps = bench_tpu()
-        win_fn, win_cfg = "bench_tpu", {}
-        win_windows = list(LAST_WINDOWS)
-    # The sharded-overhead and numerics-parity measurements can need a
-    # FRESH compile, and this backend's fresh compiles sometimes HANG
-    # in C++ (CLAUDE.md) where SIGALRM cannot interrupt — run both in
-    # hard-killable subprocesses so a hang can never block the round's
-    # headline number.
-    import subprocess
-
     def _sub_json(code: str, timeout_s: float):
+        if timeout_s < 30:
+            return {"error": "skipped: budget spent"}
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
@@ -573,28 +651,80 @@ def main():
         except Exception as e:
             return {"error": f"{type(e).__name__}: {e}"}
 
-    # sharding overhead on the real chip: the cooperative sharded step
-    # compiled for a 1-device mesh (VERDICT r3 #4)
-    got = _sub_json(
-        "import json, bench;"
-        "v = bench.bench_sharded_1dev(blanker_rounds=8,"
-        "    target_fft1_frames_per_step=2048, max_pulses_per_block=512);"
-        "print('@@' + json.dumps({'msps': round(v, 2)}))", 900)
-    sharded_1dev = got.get("msps")
-    # numerics parity gate: the benchmarked chain must compute the same
-    # answer on the accelerator as on the verified CPU backend
-    # (VERDICT r3 #1); cached-executable-safe via entry()'s warm HLO
-    got = _sub_json(
+    # ---- sentinel: an artifact exists from the very first second ----
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+    print(json.dumps({
+        "metric": "complex Msamples/s/chip through fft1->blanker->fft2->demod",
+        "value": 0.0, "unit": "Msamples/s/chip", "vs_baseline": None,
+        "note": "sentinel: no candidate measured yet (backend outage "
+                "or early kill)"}), flush=True)
+
+    tpu_msps = 0.0
+    win_fn, win_cfg = None, None
+    win_windows: list = []
+    # first candidates get a shorter leash so one hung compile cannot
+    # eat the whole budget before anything cached is reached
+    for i, (fn, overrides) in enumerate(CANDIDATES):
+        if left() < 75:
+            break
+        # first leash is generous: backend init alone takes 30-60 s
+        # through the tunnel when degraded
+        per = min(240.0 if tpu_msps == 0.0 else 120.0, left() - 60)
+        got = _sub_json(
+            f"import bench; bench._candidate_worker({i})", per)
+        if "msps" in got and got["msps"] > tpu_msps:
+            tpu_msps = got["msps"]
+            win_fn, win_cfg = fn.__name__, overrides
+            win_windows = list(got.get("windows", []))
+        if tpu_msps > 0:
+            break
+    if tpu_msps == 0.0:
+        win_fn, win_cfg = "none", {}
+
+    # ---- EARLY EMIT: the headline artifact ---------------------------
+    cpu_msps = cache.get("cpu_msamples_per_s")
+    xl = cache.get("xlinrad_msps")
+    roof = bench_roofline(tpu_msps, **{
+        k: v for k, v in (win_cfg or {}).items()
+        if k not in ("k_steps", "dispatches", "windows")})
+    vs_xl = round(tpu_msps / xl, 2) if xl else None
+    report = {
+        "metric": "complex Msamples/s/chip through fft1->blanker->fft2->demod",
+        "value": round(tpu_msps, 2),
+        "unit": "Msamples/s/chip",
+        # the honest baseline: the compiled reference chain itself
+        "vs_baseline": vs_xl if vs_xl else (
+            round(tpu_msps / cpu_msps, 2) if cpu_msps else None),
+        "vs_xlinrad": vs_xl,
+        "xlinrad_msps": round(xl, 3) if xl else None,
+        "vs_numpy": round(tpu_msps / cpu_msps, 2) if cpu_msps else None,
+        "flops_per_sample": roof["flops_per_sample"],
+        "executed_flops_per_sample": roof["executed_flops_per_sample"],
+        "achieved_tflops": roof["achieved_tflops"],
+        "analytic_tflops": roof["analytic_tflops"],
+        "executed_tflops": roof["executed_tflops"],
+        "config": {"fn": win_fn, **(win_cfg or {})},
+        "windows_stats": window_stats(win_windows),
+    }
+    print(json.dumps(report), flush=True)
+
+    # ---- extras, each bounded by the remaining budget ----------------
+    # numerics parity gate first (the accountability item): live gate in
+    # a hard-killable subprocess; a persisted prior success
+    # (TPU_PARITY.json, written by tools/tpu_parity.py or the
+    # tools/tpu_watch.py loop) is the carry-forward when the backend's
+    # transfer paths are in an outage burst.
+    tpu_parity = _sub_json(
         "import json, io, contextlib;"
         "from tools.tpu_parity import main as pm;"
         "buf = io.StringIO();\n"
         "with contextlib.redirect_stdout(buf):\n"
         "    rep = pm()\n"
-        "print('@@' + json.dumps(rep))", 1800)
-    tpu_parity = got
+        "print('@@' + json.dumps(rep))", min(600, left()))
     if "error" in tpu_parity:
-        # a prior successful gate this session (watch loop) still
-        # proves the cached executable's numerics; carry it marked
         prior = os.path.join(_HERE, "TPU_PARITY.json")
         if os.path.exists(prior):
             try:
@@ -605,42 +735,79 @@ def main():
                 tpu_parity = saved
             except Exception:
                 pass
-    cache = {}
-    if os.path.exists(CACHE):
-        with open(CACHE) as f:
-            cache = json.load(f)
-    if "cpu_msamples_per_s" not in cache:
-        cache["cpu_msamples_per_s"] = bench_cpu_reference()
-    if "xlinrad_msps" not in cache:
+    report["tpu_parity"] = tpu_parity
+
+    # timing-integrity probe: dispatch timing cross-checked against a
+    # value actually arriving on the host (same HLO as the winner)
+    fv_cfg = {k: v for k, v in (win_cfg or {}).items()
+              if k not in ("dispatches", "windows")}
+    report["fetch_verified"] = _sub_json(
+        "import json, bench;"
+        f"v = bench.bench_fetch_verified(**{fv_cfg!r});"
+        "print('@@' + json.dumps(v))", min(600, left()))
+
+    # sharding overhead on the real chip: the cooperative sharded step
+    # compiled for a 1-device mesh (VERDICT r3 #4)
+    got = _sub_json(
+        "import json, bench;"
+        "v = bench.bench_sharded_1dev(blanker_rounds=8,"
+        "    target_fft1_frames_per_step=2048, max_pulses_per_block=512);"
+        "print('@@' + json.dumps({'msps': round(v, 2)}))",
+        min(600, left()))
+    report["sharded_1dev_msps"] = got.get("msps")
+
+    # CPU baselines (cached after the first run)
+    if "cpu_msamples_per_s" not in cache and left() > 45:
         try:
-            cache["xlinrad_msps"] = _with_timeout(bench_xlinrad, 300)
+            cache["cpu_msamples_per_s"] = _with_timeout(
+                bench_cpu_reference, min(60, left() - 10))
+        except Exception:
+            pass
+    if "xlinrad_msps" not in cache and left() > 60:
+        try:
+            cache["xlinrad_msps"] = _with_timeout(
+                bench_xlinrad, min(300, left() - 10))
         except Exception:
             cache["xlinrad_msps"] = None
     with open(CACHE, "w") as f:
         json.dump(cache, f)
-    cpu_msps = cache["cpu_msamples_per_s"]
+    cpu_msps = cache.get("cpu_msamples_per_s")
     xl = cache.get("xlinrad_msps")
-    roof = bench_roofline(tpu_msps, **{
-        k: v for k, v in (win_cfg or {}).items()
-        if k not in ("k_steps", "dispatches", "windows")})
-    try:
-        scaling = bench_scaling() if len(__import__("jax").devices()) > 1 \
-            else {"devices": 1, "note": "single chip; efficiency needs "
-                  ">=2 devices (run on a pod slice)"}
-    except Exception:
-        scaling = {"devices": 1, "note": "scaling measurement failed"}
+    vs_xl = round(tpu_msps / xl, 2) if xl else None
+    report["vs_baseline"] = vs_xl if vs_xl else (
+        round(tpu_msps / cpu_msps, 2) if cpu_msps else None)
+    report["vs_xlinrad"] = vs_xl
+    report["xlinrad_msps"] = round(xl, 3) if xl else None
+    report["vs_numpy"] = (round(tpu_msps / cpu_msps, 2)
+                          if cpu_msps else None)
+
+    # scaling: device count + efficiency measured in a subprocess (the
+    # parent never touches the backend — even jax.devices() can hang)
+    got = _sub_json(
+        "import json, jax, bench;"
+        "n = len(jax.devices());"
+        "v = bench.bench_scaling() if n > 1 else "
+        "{'devices': n, 'note': 'single chip; efficiency needs >=2 "
+        "devices (run on a pod slice)'};"
+        "print('@@' + json.dumps(v))", min(300, left()))
+    report["scaling"] = (got if "error" not in got
+                         else {"devices": None,
+                               "note": got["error"][:120]})
+
     # bounded-latency mode (z_TIMING.txt 0.150 s budget): measured on
     # the small-step latency config; falls back to the algorithmic
     # fields if the fresh compile hits the environmental failure
     from linrad_tpu.pipeline.latency import (latency_params,
-                                             measure_latency,
                                              pipeline_delay_samples)
     from linrad_tpu import derive_geometry as _dg
-    try:
-        latency = _with_timeout(
-            measure_latency, 300,
-            params=latency_params(second_fft=True), steps=60)
-    except Exception:
+    latency = _sub_json(
+        "import json;"
+        "from linrad_tpu.pipeline.latency import latency_params,"
+        " measure_latency;"
+        "v = measure_latency(params=latency_params(second_fft=True),"
+        " steps=60);"
+        "print('@@' + json.dumps(v))", min(240, left()))
+    if "error" in latency:
         lp = latency_params(second_fft=True)
         g = _dg(lp)
         fs = g.timf1_sampling_speed
@@ -649,26 +816,11 @@ def main():
             "pipeline_ms": round(
                 1e3 * pipeline_delay_samples(g) / fs, 2),
             "budget_ms": 150.0,
-            "note": "processing time not measured (compile failed)"}
-    vs_xl = round(tpu_msps / xl, 2) if xl else None
-    print(json.dumps({
-        "metric": "complex Msamples/s/chip through fft1->blanker->fft2->demod",
-        "value": round(tpu_msps, 2),
-        "unit": "Msamples/s/chip",
-        # the honest baseline: the compiled reference chain itself
-        "vs_baseline": vs_xl if vs_xl else round(tpu_msps / cpu_msps, 2),
-        "vs_xlinrad": vs_xl,
-        "xlinrad_msps": round(xl, 3) if xl else None,
-        "vs_numpy": round(tpu_msps / cpu_msps, 2),
-        "flops_per_sample": roof["flops_per_sample"],
-        "achieved_tflops": roof["achieved_tflops"],
-        "config": {"fn": win_fn, **(win_cfg or {})},
-        "windows_stats": window_stats(win_windows),
-        "sharded_1dev_msps": sharded_1dev,
-        "tpu_parity": tpu_parity,
-        "scaling": scaling,
-        "latency": latency,
-    }))
+            "note": "processing time not measured (compile failed "
+                    "or budget spent)"}
+    report["latency"] = latency
+    report["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+    print(json.dumps(report), flush=True)
 
 
 if __name__ == "__main__":

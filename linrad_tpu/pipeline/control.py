@@ -30,7 +30,12 @@ class WeakSignalControl:
                                max_drift_hz_per_s=max(
                                    params.afc_max_drift_hz / 10.0, 0.5)))
         self.spur_manager = None
-        self.spur_scan_interval = 4
+        # the spur auto-search runs at ~Hz wall-clock rate like the
+        # reference's spursearch (spur.c), NOT per N steps: step size is
+        # a batching knob (step-size invariance), so a fixed step count
+        # at large steps would delay acquisition by tens of seconds
+        self.spur_scan_interval = max(
+            1, int(round(1.4 / self.step_seconds)))
         if params.spur_enable:
             from ..weak.spur import SpurManager
             self.spur_manager = SpurManager(geo)

@@ -32,6 +32,26 @@ from ..ops.windows import make_window
 MAX_SPURS = 16      # MAX_NO_OF_SPURS analog (static shape)
 TEMPLATE_HALF = 3   # bins each side of the spur centre
 
+# amplitude-smoothing window over frames (spur_speknum analog) and its
+# shape: "sg" — quadratic Savitzky-Golay, i.e. a LOCAL LEAST-SQUARES
+# fit exactly like the reference's 11-transform LLSQ window
+# (spur.c:517-578); unbiased for quadratically-varying envelopes, which
+# is what a drifting carrier's template-scaled amplitude looks like.
+# "flat"/"hann" kept for experiments (measured 2026-08-21: sg 45.5 dB
+# static / 39.9 dB at 2 Hz/s vs flat 45.0/36.7).
+SMOOTH_LEN = 11
+SMOOTH_KIND = "sg"
+
+
+def _smooth_kernel(k: int) -> np.ndarray:
+    if SMOOTH_KIND == "flat":
+        return np.full(k, 1.0 / k)
+    if SMOOTH_KIND == "sg":
+        x = np.arange(k) - k // 2
+        a = np.vander(x, 3, increasing=True)       # [1, x, x^2]
+        return (a @ np.linalg.inv(a.T @ a))[:, 0][::-1].copy()
+    return np.hanning(k + 2)[1:-1]
+
 
 TEMPLATE_OS = 64    # fractional-bin oversampling of the template
 
@@ -88,7 +108,8 @@ class SpurState:
 
 def spur_subtract_step(geo: Geometry, template: jax.Array,
                        state: SpurState, spectra: jax.Array,
-                       gamma: float = 0.25, frac_gamma: float = 0.08
+                       gamma: float = 0.25, frac_gamma: float = 0.25,
+                       refine_iters: int = 3
                        ) -> tuple[SpurState, jax.Array]:
     """Estimate + subtract all active spurs from a step of spectra.
 
@@ -137,8 +158,8 @@ def spur_subtract_step(geo: Geometry, template: jax.Array,
         w = pos - i0
         return template[i0] * (1.0 - w) + template[i0 + 1] * w
 
-    def matched(t):
-        """t (..., S, tlen) -> per-frame estimates (n, S, C)."""
+    def matched(t, sel):
+        """t (..., S, tlen), sel (n, S, tlen, C) -> estimates (n, S, C)."""
         tnorm = jnp.maximum(jnp.sum(jnp.abs(t) ** 2, axis=-1), 1e-20)
         if t.ndim == 2:
             t = t[None]
@@ -148,7 +169,7 @@ def spur_subtract_step(geo: Geometry, template: jax.Array,
 
     sel = spectra[:, idx, :]                      # (n, S, tlen, C)
     # first pass: step-start template, for the rotation/curvature fit
-    est = matched(templ(state.frac))              # (n, S, C)
+    est = matched(templ(state.frac), sel)         # (n, S, C)
 
     # measured per-frame advances (power-weighted), relative to the
     # tracked rotation so angles stay small and unwrapped
@@ -197,24 +218,40 @@ def spur_subtract_step(geo: Geometry, template: jax.Array,
     slope_bins = jnp.where(active, curv * bins_per_rad, 0.0)   # (S,)
     frac_f = state.frac[None, :] + slope_bins[None, :] * fidx  # (n, S)
     t = templ(frac_f)                              # (n, S, tlen)
-    est = matched(t)                               # (n, S, C)
-    d = est * jnp.conj(ph)[:, :, None]                   # (n, S, C)
-    k = min(11, n_frames)                   # spur_speknum window
-    kern = jnp.asarray(np.hanning(k + 2)[1:-1], jnp.float32)
+    k = min(SMOOTH_LEN, n_frames)           # spur_speknum window
+    if k % 2 == 0:
+        k -= 1
+    kern = jnp.asarray(_smooth_kernel(k), jnp.float32)
     norm = jnp.convolve(jnp.ones(n_frames), kern, mode="same")
 
     def smooth(x):                                       # (n,) complex
         return jnp.convolve(x, kern.astype(x.dtype), mode="same") / norm
 
-    dsm = jax.vmap(jax.vmap(smooth, in_axes=1, out_axes=1),
-                   in_axes=2, out_axes=2)(d)             # (n, S, C)
-    pred = dsm * ph[:, :, None]                          # (n, S, C)
-    sub = jnp.where(active[None, :, None, None],
-                    pred[:, :, None, :] * t[:, :, :, None], 0.0)
-    cleaned = spectra.at[:, idx, :].add(-sub)
+    smooth_all = jax.vmap(jax.vmap(smooth, in_axes=1, out_axes=1),
+                          in_axes=2, out_axes=2)
+    # iterated refinement against the post-subtraction residual (the
+    # reference re-invokes refine_pll_parameters on the residual,
+    # spur.c:371/383): the centered smoothing under-subtracts any part
+    # of the carrier whose phase the quadratic model missed, and each
+    # re-estimate of the residual through the same matched filter
+    # recovers the projection the previous pass left behind —
+    # converging to the least-squares fit the reference's iterated LLSQ
+    # computes.  Static unroll; each pass is one matched filter + one
+    # smoothing + one scatter-add (cheap vs the chain).
+    dsm_tot = jnp.zeros_like(est)                        # (n, S, C)
+    cleaned = spectra
+    for _ in range(max(1, refine_iters)):
+        d = matched(t, cleaned[:, idx, :]) \
+            * jnp.conj(ph)[:, :, None]                   # (n, S, C)
+        dsm = smooth_all(d)
+        dsm_tot = dsm_tot + dsm
+        pred = dsm * ph[:, :, None]                      # (n, S, C)
+        sub = jnp.where(active[None, :, None, None],
+                        pred[:, :, None, :] * t[:, :, :, None], 0.0)
+        cleaned = cleaned.at[:, idx, :].add(-sub)
 
     # state for the next step / the manager
-    amp = jnp.where(active[:, None], dsm[-1] * ph[-1][:, None],
+    amp = jnp.where(active[:, None], dsm_tot[-1] * ph[-1][:, None],
                     state.amp)
     frac_target = jnp.angle(rot * jnp.conj(base_rot)) * bins_per_rad
     frac = jnp.where(active,

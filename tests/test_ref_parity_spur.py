@@ -155,13 +155,17 @@ class TestSpurGoldenParity:
             bins_active, bin_our)
         supp_ours = _supp_db(q_off[3], q_on[3], bin_our)
 
-        # both cancel deeply (measured 2026-08-21: ref 48.0 dB, ours
-        # 43-45 dB — the reference's 5x-iterated 11-transform LLSQ
-        # phase model buys its last ~4 dB over our one-pass
-        # centered-smoothed fit)
+        # both cancel deeply (measured 2026-08-21 after the iterated
+        # residual refinement + Savitzky-Golay LLSQ smoothing: ref
+        # 48.0 dB, ours 45.5 dB).  Our ON-run residual at the spur bins
+        # sits ~33 dB BELOW the surrounding noise floor (the iterated
+        # refinement also nulls the slow overlapped-frame noise in the
+        # template span), so the remaining delta is the OFF-run's
+        # sellim-limited spur power in this metric, not subtraction
+        # shallowness.
         assert supp_ref > 10.0, supp_ref
-        assert supp_ours > 10.0, supp_ours
-        assert supp_ours > supp_ref - 6.0, (supp_ours, supp_ref)
+        assert supp_ours > 40.0, supp_ours
+        assert supp_ours > supp_ref - 4.0, (supp_ours, supp_ref)
 
     def _race(self, drift: float, with_ref: bool):
         iq = _signal(drift_hz_s=drift)
@@ -189,27 +193,24 @@ class TestSpurGoldenParity:
         ours via the curvature-fitted per-frame templates +
         SpurManager.scan re-centring).
 
-        Measured (2026-08-21): ref 41.8 dB, ours 27.6 dB in THIS
-        full-chain context — the subtractor itself reaches 39-44 dB on
-        the identical drift standalone (16-frame steps 42 dB, 8-frame
-        39 dB), so the model matches the reference's iterated
-        quadratic-phase PLL; the remaining delta is the full-chain
-        context (short 8-frame steps + scan cadence).  DOCUMENTED
-        DEVIATION, bounded here; the flip side is
-        test_fast_drift_beyond_reference."""
+        Measured (2026-08-21, after snap-tracked fractional templates +
+        iterated residual refinement + SG smoothing): ref 41.8 dB, ours
+        39.9 dB in THIS full-chain context — within 2 dB of the
+        reference on its home turf (VERDICT r4 #4 closed; was 27.6)."""
         supp_ours, supp_ref, n_locked = self._race(2.0, with_ref=True)
         if n_locked:       # ref lock at 2 Hz/s is borderline/run-order
-            assert supp_ours > supp_ref - 20.0, (supp_ours, supp_ref)
-        assert supp_ours > 15.0, supp_ours
+            assert supp_ours > supp_ref - 5.0, (supp_ours, supp_ref)
+        assert supp_ours > 30.0, supp_ours
 
     def test_fast_drift_beyond_reference(self):
         """At 4 Hz/s the reference LOSES the spur (measured: its
         auto-spur mode removes spurs that fail relock, spur.c:142-152;
         0 locked at 4+ Hz/s, 0 dB suppression) while our
         rotation-steered fractional tracker keeps cancelling
-        (measured 21.7 dB) — a capability win, pinned here."""
+        (measured 36.1 dB, 2026-08-21) — a capability win, pinned
+        here."""
         supp_ours, supp_ref, n_locked = self._race(4.0, with_ref=True)
-        assert supp_ours > 12.0, supp_ours
+        assert supp_ours > 25.0, supp_ours
         # the reference must NOT be doing better than us here
         if n_locked and supp_ref is not None:
             assert supp_ours > supp_ref - 3.0, (supp_ours, supp_ref)

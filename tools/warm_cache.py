@@ -7,24 +7,36 @@ signature invalidates those entries, so run this right after such a
 change — while compiles are healthy — to re-warm:
 
   1. the driver entry() flagship step,
-  2. the top bench_tpu_batched candidates (k=48 and k=32 at
-     frames=2048),
+  2. the HEAD of bench.CANDIDATES — imported from bench.py itself so
+     this warmer can never go stale against the committed ladder
+     (VERDICT r4 weak #2),
   3. the bounded-latency configuration,
-  4. the TPU-parity gate step (tools/tpu_parity.py uses entry()'s HLO).
+  4. the sharded 1-dev step,
+  5. the slope-active production Receiver signature (afc_coherent
+     tracking: per-frame tune bin/frac/slope arrays — the signature the
+     AFC switches to after lock, do_mix1_afc mix1.c:648 analog), and
+  6. the fetch-verified probe's reduce kernel.
 
 Each target compiles and executes once; timings are printed so compile
-health is visible.  Safe to re-run any time (cache hits are seconds).
+health is visible.  Exits NONZERO if any ladder-head target failed —
+a cold ladder head burns the bench's whole per-candidate alarm on a
+hung fresh compile, so failure here must be loud.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_LADDER_HEAD = 3     # how many leading bench candidates to warm
+
+FAILED: list[str] = []
 
 
-def _timed(name, fn):
+def _timed(name, fn, critical: bool = False):
     t0 = time.time()
     try:
         fn()
@@ -32,6 +44,8 @@ def _timed(name, fn):
     except Exception as e:  # keep warming the rest
         print(f"warm {name}: FAILED after {time.time() - t0:.0f}s: "
               f"{type(e).__name__}: {e}", flush=True)
+        if critical:
+            FAILED.append(name)
 
 
 def warm_entry():
@@ -44,12 +58,11 @@ def warm_entry():
     jax.block_until_ready(out)
 
 
-def warm_batched(k_steps: int):
-    import bench
-
-    bench.bench_tpu_batched(
-        k_steps=k_steps, dispatches=1, windows=1, blanker_rounds=8,
-        target_fft1_frames_per_step=2048, max_pulses_per_block=512)
+def warm_candidate(fn, overrides):
+    kw = dict(overrides)
+    kw["dispatches"] = 1
+    kw["windows"] = 1
+    fn(**kw)
 
 
 def warm_latency():
@@ -66,13 +79,63 @@ def warm_sharded_1dev():
                              max_pulses_per_block=512)
 
 
+def warm_slope_active():
+    """Compile + execute the production Receiver step with the AFC's
+    slope-active traced signature (VERDICT r4 #3): after lock,
+    WeakSignalControl.update switches tune_bin/frac/slope from scalars
+    to per-frame arrays (control.py:70-76), which is a NEW jit
+    signature the warm entry()/bench HLOs never exercise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from linrad_tpu.pipeline.receiver import Receiver
+
+    rx = Receiver(ge._flagship_params())
+    f = rx.geo.fftx_frames_per_step
+    rx._tune_bin = jnp.full((f,), 256, jnp.int32)
+    rx._tune_frac = jnp.zeros((f,), jnp.float32)
+    rx._tune_slope = jnp.full((f,), 1e-4, jnp.float32)
+    n = rx.geo.samples_per_step
+    rng = np.random.default_rng(0)
+    blk = (rng.normal(size=(n, 1)) + 1j * rng.normal(size=(n, 1))
+           ).astype(np.complex64)
+    out = rx.process_block(blk)
+    jax.block_until_ready(out.audio)
+
+
+def warm_fetch_verified():
+    import bench
+
+    fn, overrides = bench.CANDIDATES[0]
+    kw = {k: v for k, v in overrides.items()
+          if k not in ("dispatches", "windows")}
+    bench.bench_fetch_verified(dispatches=1, **kw)
+
+
 def main():
-    _timed("entry", warm_entry)
-    _timed("batched_k48_f2048", lambda: warm_batched(48))
-    _timed("batched_k32_f2048", lambda: warm_batched(32))
+    import bench
+
+    _timed("entry", warm_entry, critical=True)
+    for fn, overrides in bench.CANDIDATES[:N_LADDER_HEAD]:
+        tag = "_".join(f"{k.split('_')[-1]}{v}" for k, v in
+                       sorted(overrides.items())
+                       if k in ("k_steps", "target_fft1_frames_per_step"))
+        _timed(f"candidate[{fn.__name__} {tag}]",
+               lambda f=fn, o=overrides: warm_candidate(f, o),
+               critical=True)
     _timed("sharded_1dev", warm_sharded_1dev)
     _timed("latency", warm_latency)
+    _timed("slope_active_receiver", warm_slope_active)
+    _timed("fetch_verified", warm_fetch_verified)
+    if FAILED:
+        print(f"CRITICAL targets cold: {FAILED} — the bench ladder head "
+              f"has no warm HLO; re-run when compiles are healthy",
+              flush=True)
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
