@@ -47,6 +47,12 @@ def load():
     global _lib
     if _lib is not None:
         return _lib
+    # the reference reads/writes its par_* parameter files in the
+    # process cwd (read_modepar_file modesub.c:789); run it from a
+    # scratch dir so test/bench runs never litter the repo root
+    # (VERDICT r4 #8).  No repo code depends on a relative cwd.
+    import tempfile
+    os.chdir(tempfile.mkdtemp(prefix="refharness-"))
     lib = ctypes.CDLL(build_libref())
     lib.ref_setup.restype = ctypes.c_int
     lib.ref_setup.argtypes = [ctypes.c_int] * 9
