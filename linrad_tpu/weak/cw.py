@@ -236,7 +236,8 @@ def _derotate_carrier(z: np.ndarray, fs: float
 
 
 def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
-                    dur_weight: float = 12.0) -> DecodeResult:
+                    dur_weight: float = 12.0, cells_per_dot: int = 6
+                    ) -> DecodeResult:
     """Maximum-likelihood Morse decode: Viterbi over the element grammar.
 
     The reference decodes by thresholding + region-growing guesses over
@@ -275,9 +276,10 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
 
     def _decode_at(wpm: float, coherent: bool = False):
         dot_s = 1.2 / wpm
-        cell_n = max(1, int(round(dot_s * fs / 4.0)))  # quarter-dot cells
+        q = int(cells_per_dot)
+        cell_n = max(1, int(round(dot_s * fs / q)))    # cells per dot
         ncell = len(env_raw) // cell_n
-        if ncell < 8:
+        if ncell < 2 * q:
             return None
         pwr = env_raw[: ncell * cell_n] ** 2
         x = pwr.reshape(ncell, cell_n).mean(axis=1)
@@ -288,12 +290,14 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
             if float(np.quantile(cp, 0.9)) < 2.0 * v:
                 return None                 # no coherent keying
             cumz = np.concatenate([[0.0 + 0.0j], np.cumsum(cz)])
+            cump = np.concatenate([[0.0], np.cumsum(cp)])
             lam = 4.0   # per-mark model-complexity charge (chi^2_2)
-
-            def mark_sc(j, d):
-                s = cumz[j] - cumz[j - d]
-                return min((s.real * s.real + s.imag * s.imag)
-                           / (d * v), 50.0 * d) - lam
+            # mark emission: coherent integral |sum z|^2/(d*v) (prefix
+            # sums); space emission: spaces must be QUIET — signal
+            # power left inside a claimed gap is charged beyond the 2x
+            # noise mean (a dash split into dot+gap+dot leaves its
+            # middle third's power unclaimed).  Both vectorised over
+            # candidate durations in the DP below.
         else:
             # Gaussian emission model (cells average many power
             # samples): fit the space/mark modes by 2-means, then
@@ -319,14 +323,19 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
                    + 0.5 * (x - c0) ** 2 / v0 + 0.5 * np.log(v0))
             llr = np.clip(llr, -50.0, 50.0)
             cum = np.concatenate([[0.0], np.cumsum(llr)])
-
-            def mark_sc(j, d):
-                return cum[j] - cum[j - d]
+            # mark emission: summed per-cell LLR (prefix sums); spaces
+            # score 0 — the LLR is already relative to "off"
 
         # element grammar: marks and spaces alternate; durations in
-        # quarter-dot cells around the 1:3:7 grid
-        MARKS = ((".", 4, (2, 7)), ("-", 12, (8, 20)))
-        SPACES = (("e", 4, (2, 7)), ("c", 12, (8, 20)), ("w", 28, (21, 52)))
+        # cells (q per dot) around the 1:3:7 grid — ranges are the
+        # quarter-dot-tuned bounds scaled by q/4
+        def _sc(x):
+            return max(1, int(round(x * q / 4.0)))
+        MARKS = ((".", _sc(4), (_sc(2), _sc(7))),
+                 ("-", _sc(12), (_sc(8), _sc(20))))
+        SPACES = (("e", _sc(4), (_sc(2), _sc(7))),
+                  ("c", _sc(12), (_sc(8), _sc(20))),
+                  ("w", _sc(28), (_sc(21), _sc(52))))
         # duration-prior weight (llr units per squared relative error): must
         # be strong enough that near the noise the 1:3:7 grid, not the
         # per-cell noise, decides segmentation; at high SNR the clipped
@@ -338,44 +347,75 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
             return -W * r * r
 
         neg = -1e18
-        n_m = len(MARKS)
-        n_s = len(SPACES)
         # best score of a path ending at cell j having just finished a
-        # mark (bm) / space (bs) element
+        # mark (bm) / space (bs) element.  The per-j duration scans are
+        # numpy-vectorised (a python double loop is ~10x slower, which
+        # would make 6-cells-per-dot resolution unaffordable).
         bm = np.full(ncell + 1, neg)
         bs = np.full(ncell + 1, neg)
         bs[0] = 0.0    # start in space
         bm[0] = 0.0    # or directly with a mark
         ptr_m = np.zeros((ncell + 1, 2), np.int32)   # (type, dur)
         ptr_s = np.zeros((ncell + 1, 3), np.int32)   # (type, dur, from_space)
+        m_tab = [(t, np.arange(dlo, dhi + 1),
+                  np.array([durpen(d, nom) for d in range(dlo, dhi + 1)]))
+                 for t, (_, nom, (dlo, dhi)) in enumerate(MARKS)]
+        s_tab = [(t, np.arange(dlo, dhi + 1),
+                  np.array([durpen(d, nom) for d in range(dlo, dhi + 1)]))
+                 for t, (_, nom, (dlo, dhi)) in enumerate(SPACES)]
+
+        def mark_sc_vec(j, ds):
+            if coherent:
+                s = cumz[j] - cumz[j - ds]
+                return (np.minimum((s.real * s.real + s.imag * s.imag)
+                                   / (ds * v), 50.0 * ds) - lam)
+            return cum[j] - cum[j - ds]
+
+        def space_sc_vec(j, ds):
+            if coherent:
+                excess = (cump[j] - cump[j - ds]) / v - 2.0 * ds
+                return -np.minimum(np.maximum(excess, 0.0), 50.0 * ds)
+            return 0.0
+
         for j in range(1, ncell + 1):
             best = neg
             arg = (0, 0)
-            for t, (_, nom, (dlo, dhi)) in enumerate(MARKS):
-                for d in range(dlo, min(dhi, j) + 1):
-                    sc = bs[j - d] + mark_sc(j, d) + durpen(d, nom)
-                    if sc > best:
-                        best = sc
-                        arg = (t, d)
+            for t, ds_full, pen_full in m_tab:
+                k = int(np.searchsorted(ds_full, j, side="right"))
+                if k == 0:
+                    continue
+                ds = ds_full[:k]
+                scs = bs[j - ds] + mark_sc_vec(j, ds) + pen_full[:k]
+                i = int(np.argmax(scs))
+                if scs[i] > best:
+                    best = float(scs[i])
+                    arg = (t, int(ds[i]))
             bm[j] = best
             ptr_m[j] = arg
             best = neg
             arg = (0, 0, 0)
-            for t, (_, nom, (dlo, dhi)) in enumerate(SPACES):
-                for d in range(dlo, min(dhi, j) + 1):
-                    sc = bm[j - d] + durpen(d, nom)
-                    if sc > best:
-                        best = sc
-                        arg = (t, d, 0)
+            for t, ds_full, pen_full in s_tab:
+                k = int(np.searchsorted(ds_full, j, side="right"))
+                if k == 0:
+                    continue
+                ds = ds_full[:k]
+                scs = bm[j - ds] + pen_full[:k] + space_sc_vec(j, ds)
+                i = int(np.argmax(scs))
+                if scs[i] > best:
+                    best = float(scs[i])
+                    arg = (t, int(ds[i]), 0)
             # word gaps may chain (space -> space): dead air of any length
             # is spaces, never forced marks (the strict alternation would
             # otherwise have to invent dots to span long silence)
-            _, w_nom, (w_lo, w_hi) = SPACES[-1]
-            for d in range(w_lo, min(w_hi, j) + 1):
-                sc = bs[j - d] + durpen(d, w_nom)
-                if sc > best:
-                    best = sc
-                    arg = (len(SPACES) - 1, d, 1)
+            t_w, ds_full, pen_full = s_tab[-1]
+            k = int(np.searchsorted(ds_full, j, side="right"))
+            if k > 0:
+                ds = ds_full[:k]
+                scs = bs[j - ds] + pen_full[:k] + space_sc_vec(j, ds)
+                i = int(np.argmax(scs))
+                if scs[i] > best:
+                    best = float(scs[i])
+                    arg = (t_w, int(ds[i]), 1)
             bs[j] = best
             ptr_s[j] = arg
         raw_score = float(max(bm[ncell], bs[ncell]))
@@ -415,8 +455,8 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
                 if cleaned and cleaned[-1][0] not in ".-" and k not in ".-":
                     pk, pst, pd = cleaned[-1]    # merge adjacent spaces
                     total = pd + d
-                    kind = ("e" if total <= 7 else
-                            "c" if total <= 20 else "w")
+                    kind = ("e" if total <= _sc(7) else
+                            "c" if total <= _sc(20) else "w")
                     cleaned[-1] = (kind, pst, total)
                 else:
                     cleaned.append((k, st, d))
@@ -458,13 +498,24 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
         # near the noise the estimators collapse to harmonics/aliases
         # of the true speed (the -6 dB failure mode: estimate ~3x
         # high); cover the dot/dash confusion aliases AND the
-        # harmonic-collapse divisors
-        raw = (wpm, wpm * 2.0 / 3.0, wpm * 1.5, wpm / 2.0, wpm / 3.0)
+        # harmonic-collapse divisors.  Each coarse hypothesis also gets
+        # a FINE grid (+/-8/15%): the measured -6..-10 dB catastrophes
+        # were estimates off by 14-20% where every coarse candidate
+        # decodes garbage while a +/-10%-correct speed decodes cleanly
+        # (speed-grid pinning, the find_good_dashes role cwspeed.c:496)
+        # both collapse directions occur: smeared envelopes merge runs
+        # (estimate LOW — needs x2/x3) and noise chatter splits them
+        # (estimate HIGH — needs /2:/3)
+        raw = (wpm, wpm * 2.0 / 3.0, wpm * 1.5, wpm / 2.0, wpm / 3.0,
+               wpm * 2.0, wpm * 3.0)
+        fine = (1.0, 0.87, 0.93, 1.08, 1.16)
         speeds = []
         for c in raw:
-            if 4.0 <= c <= 100.0 and not any(
-                    abs(c - s) < 0.05 * s for s in speeds):
-                speeds.append(float(c))
+            for f in fine:
+                s = c * f
+                if 4.0 <= s <= 100.0 and not any(
+                        abs(s - t) < 0.04 * t for t in speeds):
+                    speeds.append(float(s))
     cands = [(c, False) for c in speeds]
     if is_complex:
         cands += [(c, True) for c in speeds]
@@ -484,12 +535,7 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
                 for _st, d in res.marks]
         return float(np.mean(devs))
 
-    best = None
-    dbg = []
-    for c, coh in cands:
-        r = _decode_at(c, coherent=coh)
-        if r is None:
-            continue
+    def _key_of(r):
         dev = _grid_dev(r[1])
         # undecodable symbols ('#') mean the mark/space structure is
         # broken even if the durations sit on a grid — charge them
@@ -510,13 +556,45 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
                 + 0.5 * max(0.0, 0.15 - dash_frac)
         else:
             skew_pen = 0.5
-        key = dev + hash_pen + skew_pen
-        dbg.append((key, dev, hash_pen, skew_pen, coh, c, r[0], txt))
+        return dev + hash_pen + skew_pen, dev, hash_pen, skew_pen
+
+    best = None
+    dbg = []
+    for c, coh in cands:
+        r = _decode_at(c, coherent=coh)
+        if r is None:
+            continue
+        key, dev, hash_pen, skew_pen = _key_of(r)
+        dbg.append((key, dev, hash_pen, skew_pen, coh, c, r[0], r[1].text))
         if best is None or key < best[0] - 0.02 or (
                 abs(key - best[0]) <= 0.02 and r[0] > best[1]):
-            best = (key, r[0], r[1])
+            best = (key, r[0], r[1], coh)
+    # speed-grid refinement from the winning segmentation: re-fit the
+    # dot time from the decoded mark durations (dots, dashes/3 — the
+    # statistic find_good_dashes pins, cwspeed.c:496) and re-decode at
+    # the refined speed; keeps whichever the selector prefers
+    if best is not None and best[2].marks:
+        r0 = best[2]
+        dot_n = 1.2 / r0.wpm * fs
+        dots_ln = [ln for _s, ln in r0.marks if ln < 2.0 * dot_n]
+        dash_ln = [ln for _s, ln in r0.marks if ln >= 2.0 * dot_n]
+        ests = ([float(np.median(dots_ln))] if dots_ln else []) \
+            + ([float(np.median(dash_ln)) / 3.0] if dash_ln else [])
+        if ests:
+            ref_wpm = 1.2 / (float(np.mean(ests)) / fs)
+            if (abs(ref_wpm - r0.wpm) > 0.02 * r0.wpm
+                    and 4.0 <= ref_wpm <= 100.0):
+                r = _decode_at(ref_wpm, coherent=best[3])
+                if r is not None:
+                    key = _key_of(r)[0]
+                    dbg.append((key, "refined", best[3], ref_wpm,
+                                r[0], r[1].text))
+                    if key < best[0] - 0.02 or (
+                            abs(key - best[0]) <= 0.02
+                            and r[0] > best[1]):
+                        best = (key, r[0], r[1], best[3])
     if "__cw_debug__" in globals() and globals()["__cw_debug__"]:
-        for row in sorted(dbg):
+        for row in sorted(dbg, key=lambda t: t[0]):
             print("cand", row)
     if best is None:
         return base

@@ -589,6 +589,43 @@ class TestWeakSignalQualification:
         assert difflib.SequenceMatcher(None, got, self.MSG).ratio() \
             > 0.9, got
 
+    def test_minus8_readable(self):
+        """r5 (VERDICT r4 #5): fine speed-candidate grid + sixth-dot
+        Viterbi cells + space emission keep the single-pass decode
+        READABLE at -8 dB/2500 Hz (measured 4-5 errors of 49,
+        docs/WEAK_SIGNAL.md r5 table; full-chain sweep 3-9/49).
+        Decode-level pin on the 49-char crosscheck message: the
+        Receiver-chain equivalent at -6 dB is pinned above, and the
+        chain adds <=3 errors at -8 (measured)."""
+        from linrad_tpu.weak.cw import decode_morse_ml, keyed_cw
+
+        fs = 6000.0
+        msg = "CQ CQ DE SM5BSZ SM5BSZ K"
+        expect = ((msg + " ") * 2).strip()
+        sig = keyed_cw((msg + " ") * 2, fs, 20.0, 0.0)
+        n = len(sig)
+        sigma = np.sqrt(1.0 / (2 * (2500 / fs) * 10 ** (-8.0 / 10)))
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            z = sig + sigma * (rng.standard_normal(n)
+                               + 1j * rng.standard_normal(n))
+            spec = np.fft.fft(z)
+            f = np.fft.fftfreq(n, 1 / fs)
+            spec[np.abs(f) > 100.0] = 0       # the baseband filter
+            bb = np.fft.ifft(spec).astype(np.complex64)
+            got = decode_morse_ml(bb, fs).text
+            # character error rate via edit distance
+            m, k = len(got), len(expect)
+            d = list(range(k + 1))
+            for i in range(1, m + 1):
+                prev, d[0] = d[0], i
+                for j in range(1, k + 1):
+                    cur = d[j]
+                    d[j] = min(d[j] + 1, d[j - 1] + 1,
+                               prev + (got[i - 1] != expect[j - 1]))
+                    prev = cur
+            assert d[k] <= 9, (seed, d[k], got)
+
 
 class TestStackedDecode:
     """Repeated-message stacking (the QRSS/EME deep-integration regime,
