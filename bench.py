@@ -738,13 +738,28 @@ def main():
     report["tpu_parity"] = tpu_parity
 
     # timing-integrity probe: dispatch timing cross-checked against a
-    # value actually arriving on the host (same HLO as the winner)
+    # value actually arriving on the host (same HLO as the winner).
+    # PROVEN (docs/PERF.md, tools/spin_channel.py): this backend
+    # executes lazily — block_until_ready returns at enqueue — so the
+    # fetch-verified number IS the throughput when it lands; the
+    # enqueue rate is kept as a separate labelled field.
     fv_cfg = {k: v for k, v in (win_cfg or {}).items()
               if k not in ("dispatches", "windows")}
-    report["fetch_verified"] = _sub_json(
+    fv = _sub_json(
         "import json, bench;"
         f"v = bench.bench_fetch_verified(**{fv_cfg!r});"
         "print('@@' + json.dumps(v))", min(600, left()))
+    report["fetch_verified"] = fv
+    if isinstance(fv, dict) and fv.get("msps_fetch_verified"):
+        report["enqueue_msps"] = report["value"]
+        tpu_msps = float(fv["msps_fetch_verified"])
+        report["value"] = round(tpu_msps, 2)
+        report["timing"] = "fetch-verified (true completion barrier)"
+    else:
+        report["timing"] = ("block_until_ready enqueue rate — backend "
+                            "executes lazily, value is an upper bound "
+                            "(docs/PERF.md timing-integrity)")
+    print(json.dumps(report), flush=True)
 
     # sharding overhead on the real chip: the cooperative sharded step
     # compiled for a 1-device mesh (VERDICT r3 #4)
@@ -819,6 +834,14 @@ def main():
             "note": "processing time not measured (compile failed "
                     "or budget spent)"}
     report["latency"] = latency
+    # roofline fields track the FINAL value (fetch-verified when it
+    # landed, enqueue-rate upper bound otherwise)
+    roof = bench_roofline(tpu_msps, **{
+        k: v for k, v in (win_cfg or {}).items()
+        if k not in ("k_steps", "dispatches", "windows")})
+    report.update({k: roof[k] for k in (
+        "flops_per_sample", "executed_flops_per_sample",
+        "achieved_tflops", "analytic_tflops", "executed_tflops")})
     report["elapsed_s"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps(report), flush=True)
 

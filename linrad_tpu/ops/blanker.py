@@ -31,6 +31,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from .cplx import (cdynamic_slice, cdynamic_update_slice, cgather,
+                   cset)
 import numpy as np
 
 from ..geometry import Geometry
@@ -176,7 +179,7 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
         valid = cand[p] > thr
 
         start = p - half
-        win = jax.lax.dynamic_slice(wpad, (start, 0), (pul, c))
+        win = cdynamic_slice(wpad, (start, 0), (pul, c))
         derot = win * tables.phasefunc[:, None]
         ctr = derot[half - 1: half + 2]                      # (3, C)
         ph = jnp.sum(jnp.abs(ctr) * ctr, axis=0)             # (C,)
@@ -195,7 +198,7 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
         nref = tables.refbank.shape[0]
         j = jnp.clip((nref * (frac + 0.5) + 0.5).astype(jnp.int32), 0,
                      nref - 1)
-        ref = tables.refbank[j]                              # (pul,)
+        ref = cgather(tables.refbank, j)                              # (pul,)
 
         # a true pulse is win = coef * bank_j with coef = A*e^{i*phi};
         # the bank rows are raw (non-derotated) pulses, so subtract
@@ -204,17 +207,17 @@ def clever_blanker(weak: jax.Array, pwr: jax.Array,
         sub = ref[:, None] * coef[None, :]
         neww = win - sub
         newp = jnp.sum(jnp.real(neww) ** 2 + jnp.imag(neww) ** 2, axis=1)
-        oldp = jax.lax.dynamic_slice(ppad, (start,), (pul,))
+        oldp = cdynamic_slice(ppad, (start,), (pul,))
         ratio = jnp.sum(newp) / jnp.maximum(jnp.sum(oldp), 1e-20)
         success = valid & shape_ok & (ratio <= 0.5)          # blank1.c:188
 
-        wpad2 = jax.lax.dynamic_update_slice(
+        wpad2 = cdynamic_update_slice(
             wpad, jnp.where(success, neww, win), (start, 0))
-        ppad2 = jax.lax.dynamic_update_slice(
+        ppad2 = cdynamic_update_slice(
             ppad, jnp.where(success, newp, oldp), (start,))
         # always retire the candidate region so the loop progresses
         retire = jnp.zeros(2 * pw + 1, bool)
-        act2 = jax.lax.dynamic_update_slice(active, retire, (p - pw,))
+        act2 = cdynamic_update_slice(active, retire, (p - pw,))
         active2 = jnp.where(valid, act2, active)
         return wpad2, ppad2, active2, nfit + success.astype(jnp.int32)
 
@@ -230,7 +233,7 @@ def _fit_subtract(wpad, ppad, tables, pw, p, valid):
     pul = tables.refbank.shape[1]
     half = pul // 2
     start = p - half
-    win = jax.lax.dynamic_slice(wpad, (start, 0), (pul, c))
+    win = cdynamic_slice(wpad, (start, 0), (pul, c))
     derot = win * tables.phasefunc[:, None]
     ctr = derot[half - 1: half + 2]
     ph = jnp.sum(jnp.abs(ctr) * ctr, axis=0)
@@ -248,17 +251,17 @@ def _fit_subtract(wpad, ppad, tables, pw, p, valid):
     nref = tables.refbank.shape[0]
     j = jnp.clip((nref * (frac + 0.5) + 0.5).astype(jnp.int32), 0,
                  nref - 1)
-    ref = tables.refbank[j]
+    ref = cgather(tables.refbank, j)
     coef = unit * jnp.real(rot[half])
     sub = ref[:, None] * coef[None, :]
     neww = win - sub
     newp = jnp.sum(jnp.real(neww) ** 2 + jnp.imag(neww) ** 2, axis=1)
-    oldp = jax.lax.dynamic_slice(ppad, (start,), (pul,))
+    oldp = cdynamic_slice(ppad, (start,), (pul,))
     ratio = jnp.sum(newp) / jnp.maximum(jnp.sum(oldp), 1e-20)
     success = valid & shape_ok & (ratio <= 0.5)              # blank1.c:188
-    wpad2 = jax.lax.dynamic_update_slice(
+    wpad2 = cdynamic_update_slice(
         wpad, jnp.where(success, neww, win), (start, 0))
-    ppad2 = jax.lax.dynamic_update_slice(
+    ppad2 = cdynamic_update_slice(
         ppad, jnp.where(success, newp, oldp), (start,))
     return wpad2, ppad2, success
 
@@ -292,7 +295,7 @@ def _clever_blanker_blocked(weak, pwr, tables, noise_floor, limit_amp,
     def body(i, carry):
         wpad, ppad, candp, bmax, nfit = carry
         b = jnp.argmax(bmax).astype(jnp.int32)
-        cblk = jax.lax.dynamic_slice(candp, (b * blk,), (blk,))
+        cblk = cdynamic_slice(candp, (b * blk,), (blk,))
         p = b * blk + jnp.argmax(cblk).astype(jnp.int32)
         valid = bmax[b] > thr
         wpad2, ppad2, success = _fit_subtract(wpad, ppad, tables, pw, p,
@@ -303,16 +306,16 @@ def _clever_blanker_blocked(weak, pwr, tables, noise_floor, limit_amp,
         b0 = jnp.clip((p - half - pw) // blk, 0, nblk - 2)
         w0 = b0 * blk
         pos = w0 + jnp.arange(2 * blk)
-        pwin = jax.lax.dynamic_slice(ppad2, (w0,), (2 * blk,))
-        cwin = jax.lax.dynamic_slice(candp, (w0,), (2 * blk,))
+        pwin = cdynamic_slice(ppad2, (w0,), (2 * blk,))
+        cwin = cdynamic_slice(candp, (w0,), (2 * blk,))
         retired = jnp.abs(pos - p) <= pw
         was_active = cwin >= 0.0
         act2 = was_active & ~jnp.where(valid, retired,
                                        jnp.zeros_like(retired))
         cwin2 = jnp.where(act2, pwin, -1.0)
-        candp2 = jax.lax.dynamic_update_slice(candp, cwin2, (w0,))
+        candp2 = cdynamic_update_slice(candp, cwin2, (w0,))
         bm2 = jnp.max(cwin2.reshape(2, blk), axis=1)
-        bmax2 = jax.lax.dynamic_update_slice(bmax, bm2, (b0,))
+        bmax2 = cdynamic_update_slice(bmax, bm2, (b0,))
         return (wpad2, ppad2, candp2, bmax2,
                 nfit + success.astype(jnp.int32))
 
@@ -392,7 +395,7 @@ def _clever_blanker_parallel(weak, pwr, tables, noise_floor, limit_amp,
         frac = jnp.sign(t4) * jnp.sqrt(0.5 * jnp.abs(t4))
         j = jnp.clip((nref * (frac + 0.5) + 0.5).astype(jnp.int32), 0,
                      nref - 1)
-        ref = tables.refbank[j]                              # (nblk, pul)
+        ref = cgather(tables.refbank, j)                              # (nblk, pul)
         coef = unit * jnp.real(rot[:, half])                 # (nblk, C)
         neww = win - ref[:, :, None] * coef[:, None, :]
         newp = jnp.sum(jnp.real(neww) ** 2 + jnp.imag(neww) ** 2, axis=2)
@@ -406,7 +409,7 @@ def _clever_blanker_parallel(weak, pwr, tables, noise_floor, limit_amp,
         rows_s = jnp.where(sel[:, None], rows, total)
         wvals = jnp.where(success[:, None, None], neww, win)
         pvals = jnp.where(success[:, None], newp, oldp)
-        wpad2 = wpad.at[rows_s].set(wvals, mode="drop")
+        wpad2 = cset(wpad, rows_s, wvals, mode="drop")
         ppad2 = ppad.at[rows_s].set(pvals, mode="drop")
         # retire ±pw around each fitted candidate (pw < half so the
         # retire span lies inside the same window), refresh the rest

@@ -166,8 +166,11 @@ def fft1_step(geo: Geometry, tables: FFT1Tables, state: FFT1State,
     if tables.iq_corr is not None:
         # I/Q image correction X'[k] = X[k] - c[k]*conj(X[-k])
         # (expand_foldcorr application, caliq.c:40-80)
-        mirror = jnp.conj(
-            spec[:, (-jnp.arange(geo.fft1_size)) % geo.fft1_size, :])
+        from .cplx import cgather
+        mirror = jnp.conj(cgather(
+            spec, (slice(None),
+                   (-jnp.arange(geo.fft1_size)) % geo.fft1_size,
+                   slice(None))))
         spec = spec - tables.iq_corr[None, :, :] * mirror
     spec = spec * tables.filtercorr[None, :, :]
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2

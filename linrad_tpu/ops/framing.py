@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 
 
+from .cplx import cgather  # complex-safe gather (see ops/cplx.py)
+
+
 def frame_stream(tail: jax.Array, block: jax.Array, frame_size: int,
                  hop: int) -> tuple[jax.Array, jax.Array]:
     """Split ``concat(tail, block)`` into overlapped frames.
@@ -37,7 +40,7 @@ def frame_stream(tail: jax.Array, block: jax.Array, frame_size: int,
     n = s // hop
     buf = jnp.concatenate([tail, block], axis=0)
     idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame_size)[None, :]
-    frames = buf[idx]
+    frames = cgather(buf, idx)
     new_tail = buf[s:]
     return frames, new_tail
 

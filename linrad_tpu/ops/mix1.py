@@ -125,7 +125,8 @@ def mix1_step(geo: Geometry, tables: Mix1Tables, state: Mix1State,
     rel = jnp.where(jnp.arange(m) < m // 2, jnp.arange(m),
                     jnp.arange(m) - m)
     bins = jnp.mod(center_bins[:, None] + rel[None, :], big_n)  # (n, M)
-    sel = jnp.take_along_axis(spectra, bins[:, :, None], axis=1)  # (n,M,C)
+    from .cplx import ctake_along_axis
+    sel = ctake_along_axis(spectra, bins[:, :, None], axis=1)  # (n,M,C)
     sel = sel * tables.fqwin[None, :, None]
 
     y = fftlib.ifft(sel, axis=1, variant=variant) * (m / big_n)

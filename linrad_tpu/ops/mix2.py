@@ -240,6 +240,7 @@ def mix2_fir_step(geo: Geometry, fir: jax.Array, state: Mix2FirState,
     xs = jnp.concatenate([state.carry, timf3], axis=0)
     m = timf3.shape[0] // resamp
     idx = np.arange(m)[:, None] * resamp + np.arange(k)[None, :]
-    baseb = jnp.einsum("mkc,k->mc", xs[idx], fir)
+    from .cplx import cgather
+    baseb = jnp.einsum("mkc,k->mc", cgather(xs, idx), fir)
     return (Mix2FirState(carry=xs[xs.shape[0] - (k - 1):]),
             baseb.astype(jnp.complex64))

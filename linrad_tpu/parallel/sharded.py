@@ -41,6 +41,7 @@ from ..geometry import Geometry
 from ..params import RxParams
 from ..ops import blanker as blanker_ops
 from ..ops import sellim as sellim_ops
+from ..ops.cplx import cdynamic_slice_in_dim
 from ..ops.fft2 import FFT2State
 from ..ops.framing import frame_stream, overlap_add
 from ..ops.mix1 import Mix1State, mix1_step
@@ -241,7 +242,7 @@ def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
                                                tiled=True)
                 s_spur, full_clean = spur_subtract_step(
                     geo, tables.spur_template, state.spur, full_spec)
-                fftx_spec = jax.lax.dynamic_slice_in_dim(
+                fftx_spec = cdynamic_slice_in_dim(
                     full_clean, jax.lax.axis_index(AXIS) * n_fftx_local,
                     n_fftx_local, 0)
             pwr2 = jnp.real(fftx_spec) ** 2 + jnp.imag(fftx_spec) ** 2
@@ -260,7 +261,7 @@ def _make_sharded_front(geo: Geometry, p: RxParams, d: int,
                                                tiled=True)
                 s_spur, full_clean = spur_subtract_step(
                     geo, tables.spur_template, state.spur, full_spec)
-                fftx_spec = jax.lax.dynamic_slice_in_dim(
+                fftx_spec = cdynamic_slice_in_dim(
                     full_clean, jax.lax.axis_index(AXIS) * n_fftx_local,
                     n_fftx_local, 0)
 

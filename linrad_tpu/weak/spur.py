@@ -150,13 +150,16 @@ def spur_subtract_step(geo: Geometry, template: jax.Array,
     os = TEMPLATE_OS
     centre = (th + 1) * os
 
+    from ..ops.cplx import cadd, cgather
+
     def templ(frac):
         """fractional templates: frac (..., S) -> (..., S, tlen)."""
         pos = (offs - frac[..., None]) * os + centre
         i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
                       template.shape[0] - 2)
         w = pos - i0
-        return template[i0] * (1.0 - w) + template[i0 + 1] * w
+        return (cgather(template, i0) * (1.0 - w)
+                + cgather(template, i0 + 1) * w)
 
     def matched(t, sel):
         """t (..., S, tlen), sel (n, S, tlen, C) -> estimates (n, S, C)."""
@@ -167,7 +170,8 @@ def spur_subtract_step(geo: Geometry, template: jax.Array,
         return jnp.sum(sel * jnp.conj(t)[:, :, :, None],
                        axis=2) / tnorm[:, :, None]
 
-    sel = spectra[:, idx, :]                      # (n, S, tlen, C)
+    sel = cgather(spectra,
+                  (slice(None), idx, slice(None)))  # (n, S, tlen, C)
     # first pass: step-start template, for the rotation/curvature fit
     est = matched(templ(state.frac), sel)         # (n, S, C)
 
@@ -241,14 +245,15 @@ def spur_subtract_step(geo: Geometry, template: jax.Array,
     dsm_tot = jnp.zeros_like(est)                        # (n, S, C)
     cleaned = spectra
     for _ in range(max(1, refine_iters)):
-        d = matched(t, cleaned[:, idx, :]) \
+        d = matched(t, cgather(cleaned,
+                               (slice(None), idx, slice(None)))) \
             * jnp.conj(ph)[:, :, None]                   # (n, S, C)
         dsm = smooth_all(d)
         dsm_tot = dsm_tot + dsm
         pred = dsm * ph[:, :, None]                      # (n, S, C)
         sub = jnp.where(active[None, :, None, None],
                         pred[:, :, None, :] * t[:, :, :, None], 0.0)
-        cleaned = cleaned.at[:, idx, :].add(-sub)
+        cleaned = cadd(cleaned, (slice(None), idx, slice(None)), -sub)
 
     # state for the next step / the manager
     amp = jnp.where(active[:, None], dsm_tot[-1] * ph[-1][:, None],
