@@ -90,6 +90,33 @@ def main() -> int:
         i = jnp.arange(256)[:, None] * 1024 + jnp.arange(2048)[None, :]
         return lax.complex(jnp.real(buf)[i], jnp.imag(buf)[i])
     probe("frame_stream_pair_workaround", fs_pair)
+    # remaining complex patterns the chain uses
+    probe("complex_concat",
+          lambda: jnp.concatenate([tailc, blkc], axis=0)[:64])
+    probe("complex_pad",
+          lambda: jnp.pad(tailc, ((0, 7), (0, 0)))[:64])
+    probe("complex_static_slice_update",
+          lambda: blkc.at[5:69].add(tailc[:64] + 1j))
+    probe("complex_dynamic_update_slice",
+          lambda: lax.dynamic_update_slice(blkc, tailc,
+                                           (jnp.int32(9), jnp.int32(0))))
+    from linrad_tpu.ops.framing import overlap_add
+    fr = jnp.broadcast_to(blkc[:2048, 0], (16, 2048))[..., None]
+    probe("overlap_add_complex",
+          lambda: overlap_add(fr, 1024, jnp.zeros((1024, 1),
+                                                  jnp.complex64))[0])
+    # mini-chain: frame (pair gather) -> window -> fft -> mask -> ifft
+    # -> overlap-add — the wideband skeleton
+    def mini_chain():
+        fs_ = fs_pair()
+        w = jnp.asarray(np.hanning(2048).astype(np.float32))
+        spec = jnp.fft.fft(fs_ * w[None, :, None], axis=1)
+        mask = (jnp.abs(spec) < 1e3).astype(jnp.float32)
+        back = jnp.fft.ifft(spec * mask, axis=1)
+        out, _ = overlap_add(back, 1024,
+                             jnp.zeros((1024, 1), jnp.complex64))
+        return out
+    probe("mini_chain_wideband", mini_chain)
     ok = sum(1 for v in res.values() if v.startswith("OK"))
     print("@@" + json.dumps({"summary": f"{ok}/{len(res)} ok",
                              "all": res}), flush=True)
