@@ -43,12 +43,24 @@ def _dft_matrices(n: int, inverse: bool, dtype: str):
     return (wr.astype(dtype), wi.astype(dtype))
 
 
-def _matmul_fft(x: jax.Array, inverse: bool) -> jax.Array:
-    """Batched DFT via real matmuls on the MXU along the last axis."""
+def _matmul_fft(x: jax.Array, inverse: bool,
+                bf16: bool = False) -> jax.Array:
+    """Batched DFT via real matmuls on the MXU along the last axis.
+
+    bf16=True feeds the MXU its native bfloat16 operand format (fp32
+    accumulate): ~4x the fp32 matmul rate at a measured ~2e-3 relative
+    transform error (the int16 MMX-path tradeoff of the reference,
+    split.s/fft2mmx*.s, reborn for this hardware) — selectable per
+    call/stage as variant "mxu_bf16", never the default."""
     n = x.shape[-1]
     wr, wi = _dft_matrices(n, inverse, "float32")
     xr = jnp.real(x).astype(jnp.float32)
     xi = jnp.imag(x).astype(jnp.float32)
+    if bf16:
+        wr = wr.astype(jnp.bfloat16)
+        wi = wi.astype(jnp.bfloat16)
+        xr = xr.astype(jnp.bfloat16)
+        xi = xi.astype(jnp.bfloat16)
     # (…, n) @ (n, n): 4 real matmuls; XLA maps these onto the MXU.
     yr = jnp.matmul(xr, wr, preferred_element_type=jnp.float32) - \
          jnp.matmul(xi, wi, preferred_element_type=jnp.float32)
@@ -105,13 +117,13 @@ def _dispatch(x, axis, inverse, variant):
         variant = "mxu" if n <= MXU_FFT_MAX_SIZE else "xla"
     if variant == "xla":
         return (jnp.fft.ifft if inverse else jnp.fft.fft)(x, axis=axis)
-    if variant != "mxu":
+    if variant not in ("mxu", "mxu_bf16"):
         raise ValueError(f"unknown fft variant {variant!r}")
     if n & (n - 1):
         raise ValueError(f"mxu variant requires power-of-two size, got {n}")
     x = jnp.moveaxis(x, axis, -1)
     if n <= MXU_FFT_MAX_SIZE:
-        y = _matmul_fft(x, inverse)
+        y = _matmul_fft(x, inverse, bf16=(variant == "mxu_bf16"))
     else:
         y = _four_step_fft(x, inverse)
     return jnp.moveaxis(y, -1, axis)
