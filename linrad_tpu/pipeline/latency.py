@@ -115,11 +115,16 @@ def measure_latency(params: RxParams, steps: int = 100,
     for _ in range(warmup):
         state, out = step(tables, state, block, tune)
     jax.block_until_ready(out.audio)
+    # latency is timed through the audio actually ARRIVING on the host
+    # (np.asarray), not buffer readiness: a live consumer fetches every
+    # block, and on the axon backend block_until_ready resolves at
+    # enqueue (docs/PERF.md r5) so it cannot measure latency at all.
+    np.asarray(out.audio)                 # warm the fetch path
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
         state, out = step(tables, state, block, tune)
-        jax.block_until_ready(out.audio)
+        np.asarray(out.audio)
         times.append(time.perf_counter() - t0)
     times = np.array(times)
     block_ms = 1e3 * n / fs
