@@ -24,6 +24,74 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _stage_bisect(out: dict) -> None:
+    """On a chain failure, find the FIRST failing stage composition —
+    each probe is fetch-verified so the result reflects real
+    execution, maximising the information from one healthy window."""
+    import jax
+    import jax.numpy as jnp
+
+    from linrad_tpu import RxParams, derive_geometry
+    from linrad_tpu.ops.blanker import BlankerTables
+    from linrad_tpu.ops.fft1 import fft1_step
+    from linrad_tpu.pipeline.chain import (RxState, RxTables,
+                                           make_rx_step)
+    from linrad_tpu.utils.xfer import device_complex
+
+    def sub(name, **kw):
+        try:
+            p = RxParams(rx_ad_speed=96_000, first_fft_bandwidth=100.0,
+                         mix1_bandwidth_reduction_n=4,
+                         clever_bln_limit=6.0, stupid_bln_limit=4.0,
+                         max_pulses_per_block=64, **kw)
+            geo = derive_geometry(p)
+            tables = RxTables.create(geo, p)
+            state = RxState.create(geo)
+            pw = 2
+            if geo.second_fft_enable:
+                _, pw = BlankerTables.create(geo)
+            stp = jax.jit(make_rx_step(geo, p, blanker_pulsewidth=pw))
+            rng = np.random.default_rng(0)
+            blk = device_complex(
+                (rng.normal(size=(geo.samples_per_step, 1))
+                 + 1j * rng.normal(size=(geo.samples_per_step, 1))
+                 ).astype(np.complex64))
+            _, o = stp(tables, state, blk, jnp.asarray(256, jnp.int32))
+            float(np.asarray(jnp.sum(jnp.abs(o.audio))
+                             .astype(jnp.float32)))
+            out[name] = "OK"
+        except Exception as e:  # noqa: BLE001
+            out[name] = f"FAIL {type(e).__name__} {str(e)[:60]}"
+
+    sub("stage_narrowband_only", second_fft_enable=False,
+        blanker_enable=False, agc_enable=False)
+    sub("stage_plus_fft2", second_fft_enable=True,
+        blanker_enable=False, agc_enable=False)
+    sub("stage_plus_blanker", second_fft_enable=True,
+        blanker_enable=True, agc_enable=False)
+    # fft1_step alone (the framing + window + DFT front end)
+    try:
+        p = RxParams(rx_ad_speed=96_000, first_fft_bandwidth=100.0,
+                     mix1_bandwidth_reduction_n=4,
+                     second_fft_enable=False, blanker_enable=False,
+                     agc_enable=False)
+        geo = derive_geometry(p)
+        tables = RxTables.create(geo, p)
+        state = RxState.create(geo)
+        rng = np.random.default_rng(0)
+        blk = device_complex(
+            (rng.normal(size=(geo.samples_per_step, 1))
+             + 1j * rng.normal(size=(geo.samples_per_step, 1))
+             ).astype(np.complex64))
+        f = jax.jit(lambda s, b: fft1_step(geo, tables.fft1, s, b,
+                                           p.fft_avg1num))
+        _, spec, _pw = f(state.fft1, blk)
+        float(np.asarray(jnp.sum(jnp.abs(spec)).astype(jnp.float32)))
+        out["stage_fft1_only"] = "OK"
+    except Exception as e:  # noqa: BLE001
+        out["stage_fft1_only"] = f"FAIL {type(e).__name__} {str(e)[:60]}"
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -55,6 +123,8 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         out["chain_step"] = {"ok": False,
                              "err": f"{type(e).__name__} {str(e)[:80]}"}
+        print("@@" + json.dumps(out), flush=True)
+        _stage_bisect(out)
         print("@@" + json.dumps(out), flush=True)
         return 2
     print("@@" + json.dumps(out), flush=True)
