@@ -192,13 +192,15 @@ def bench_sharded_1dev(k_steps: int = 16, dispatches: int = 6,
     for _ in range(2):
         state, outs = sb._run_k(sb.tables, state, blocks, sb._tune_bin)
     jax.block_until_ready(outs)
+    float(np.asarray(jnp.sum(jnp.abs(outs[0][-1]))))     # warm fetch
     best = 0.0
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(dispatches):
             state, outs = sb._run_k(sb.tables, state, blocks,
                                     sb._tune_bin)
-        jax.block_until_ready(outs)
+        # true completion barrier (docs/PERF.md timing-integrity)
+        float(np.asarray(jnp.sum(jnp.abs(outs[0][-1]))))
         dt = time.perf_counter() - t0
         best = max(best, dispatches * k_steps * n / dt / 1e6)
     return best
@@ -497,13 +499,16 @@ def bench_scaling(k_steps: int = 8, dispatches: int = 6,
             state, outs = sb._run_k(sb.tables, state, blocks,
                                     sb._tune_bin)
         jax.block_until_ready(outs)
+        float(np.asarray(jnp.sum(jnp.abs(outs[0][-1]))))  # warm fetch
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(dispatches):
                 state, outs = sb._run_k(sb.tables, state, blocks,
                                         sb._tune_bin)
-            jax.block_until_ready(outs)
+            # true completion barrier (docs/PERF.md: block_until_ready
+            # resolves at enqueue on the axon backend)
+            float(np.asarray(jnp.sum(jnp.abs(outs[0][-1]))))
             dt = time.perf_counter() - t0
             best = max(best, dispatches * k_steps * n / dt / 1e6)
         return best
@@ -528,13 +533,14 @@ def bench_scaling(k_steps: int = 8, dispatches: int = 6,
             state, outs = fl._run_k(fl.tables, state, blocks,
                                     fl._tune_bins, fl._tune_fracs)
         jax.block_until_ready(outs)
+        float(np.asarray(jnp.sum(jnp.abs(outs[0][-1]))))  # warm fetch
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(dispatches):
                 state, outs = fl._run_k(fl.tables, state, blocks,
                                         fl._tune_bins, fl._tune_fracs)
-            jax.block_until_ready(outs)
+            float(np.asarray(jnp.sum(jnp.abs(outs[0][-1]))))
             dt = time.perf_counter() - t0
             best = max(best, dispatches * k_steps * n * d / dt / 1e6)
         return best
