@@ -378,7 +378,7 @@ def _clever_blanker_parallel(weak, pwr, tables, noise_floor, limit_amp,
 
         rows = p[:, None] + rel[None, :]                     # (nblk, pul)
         rows_g = jnp.clip(rows, 0, total - 1)
-        win = wpad[rows_g]                                   # (nblk, pul, C)
+        win = cgather(wpad, rows_g)                          # (nblk, pul, C)
         derot = win * tables.phasefunc[None, :, None]
         ctr = derot[:, half - 1: half + 2]                   # (nblk, 3, C)
         ph = jnp.sum(jnp.abs(ctr) * ctr, axis=1)             # (nblk, C)

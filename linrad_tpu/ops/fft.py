@@ -76,7 +76,8 @@ def _twiddle(n1: int, n2: int, inverse: bool) -> np.ndarray:
     return np.exp(1j * ang).astype(np.complex64)
 
 
-def _four_step_fft(x: jax.Array, inverse: bool) -> jax.Array:
+def _four_step_fft(x: jax.Array, inverse: bool,
+                   bf16: bool = False) -> jax.Array:
     """Bailey four-step DFT: N = N1·N2 as two batched matmul DFTs.
 
     Keeps the MXU path viable far beyond the direct (N, N)-matrix size:
@@ -91,10 +92,10 @@ def _four_step_fft(x: jax.Array, inverse: bool) -> jax.Array:
     n2 = n // n1
     lead = x.shape[:-1]
     a = x.reshape(lead + (n1, n2))                   # a[n1, n2]
-    y = _matmul_fft(jnp.swapaxes(a, -1, -2), inverse)  # y[n2, k1]
+    y = _matmul_fft(jnp.swapaxes(a, -1, -2), inverse, bf16)  # y[n2, k1]
     tw = jnp.asarray(_twiddle(n2, n1, inverse))
     y = y * tw                                       # W_N^{n2·k1}
-    z = _matmul_fft(jnp.swapaxes(y, -1, -2), inverse)  # z[k1, k2]
+    z = _matmul_fft(jnp.swapaxes(y, -1, -2), inverse, bf16)  # z[k1, k2]
     # ifft normalisation: the two stages each applied 1/N1, 1/N2 — the
     # product is the required 1/N, but the twiddle must stay unscaled.
     out = jnp.swapaxes(z, -1, -2).reshape(lead + (n,))  # X[k1 + N1·k2]
@@ -122,8 +123,9 @@ def _dispatch(x, axis, inverse, variant):
     if n & (n - 1):
         raise ValueError(f"mxu variant requires power-of-two size, got {n}")
     x = jnp.moveaxis(x, axis, -1)
+    bf16 = variant == "mxu_bf16"
     if n <= MXU_FFT_MAX_SIZE:
-        y = _matmul_fft(x, inverse, bf16=(variant == "mxu_bf16"))
+        y = _matmul_fft(x, inverse, bf16=bf16)
     else:
-        y = _four_step_fft(x, inverse)
+        y = _four_step_fft(x, inverse, bf16=bf16)
     return jnp.moveaxis(y, -1, axis)

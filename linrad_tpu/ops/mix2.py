@@ -173,7 +173,9 @@ def _branch(geo: Geometry, spectra, filt, syn, carry, variant):
     rel = jnp.where(jnp.arange(m2) < m2 // 2, jnp.arange(m2),
                     jnp.arange(m2) - m2)
     bins = jnp.mod(rel, n3)
-    sel = spectra[:, bins, :] * filt[None, :, None]
+    from .cplx import cgather
+    sel = cgather(spectra, (slice(None), bins, slice(None))) \
+        * filt[None, :, None]
     y = fftlib.ifft(sel, axis=1, variant=variant) * (m2 / n3)
     frames = y * syn[None, :, None]
     return overlap_add(frames, geo.mix2_new_points, carry)

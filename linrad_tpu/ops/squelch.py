@@ -42,7 +42,8 @@ def squelch_step(geo: Geometry, state: SquelchState,
     rel = jnp.where(jnp.arange(m2) < m2 // 2, jnp.arange(m2),
                     jnp.arange(m2) - m2)
     bins = jnp.mod(rel, n3)
-    sel = fft3_spec[:, bins, :]
+    from .cplx import cgather
+    sel = cgather(fft3_spec, (slice(None), bins, slice(None)))
     p = jnp.mean(jnp.sum(jnp.real(sel) ** 2 + jnp.imag(sel) ** 2,
                          axis=-1), axis=0)             # (m2,)
     inband = filt > 0.5 * jnp.max(filt)

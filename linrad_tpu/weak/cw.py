@@ -328,14 +328,19 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
 
         # element grammar: marks and spaces alternate; durations in
         # cells (q per dot) around the 1:3:7 grid — ranges are the
-        # quarter-dot-tuned bounds scaled by q/4
+        # quarter-dot-tuned bounds scaled by q/4, with adjacent
+        # elements' ranges kept CONTIGUOUS (upper bound = next lower
+        # bound - 1): independent rounding leaves coverage gaps (at
+        # q=6, an 11-cell mark would fit neither dot nor dash)
         def _sc(x):
             return max(1, int(round(x * q / 4.0)))
-        MARKS = ((".", _sc(4), (_sc(2), _sc(7))),
-                 ("-", _sc(12), (_sc(8), _sc(20))))
-        SPACES = (("e", _sc(4), (_sc(2), _sc(7))),
-                  ("c", _sc(12), (_sc(8), _sc(20))),
-                  ("w", _sc(28), (_sc(21), _sc(52))))
+        dash_lo, dash_hi = _sc(8), _sc(20)
+        word_lo, word_hi = _sc(21), _sc(52)
+        MARKS = ((".", _sc(4), (_sc(2), dash_lo - 1)),
+                 ("-", _sc(12), (dash_lo, dash_hi)))
+        SPACES = (("e", _sc(4), (_sc(2), dash_lo - 1)),
+                  ("c", _sc(12), (dash_lo, word_lo - 1)),
+                  ("w", _sc(28), (word_lo, word_hi)))
         # duration-prior weight (llr units per squared relative error): must
         # be strong enough that near the noise the 1:3:7 grid, not the
         # per-cell noise, decides segmentation; at high SNR the clipped
@@ -455,8 +460,8 @@ def decode_morse_ml(audio: np.ndarray, fs: float, wpm_hint: float = 0.0,
                 if cleaned and cleaned[-1][0] not in ".-" and k not in ".-":
                     pk, pst, pd = cleaned[-1]    # merge adjacent spaces
                     total = pd + d
-                    kind = ("e" if total <= _sc(7) else
-                            "c" if total <= _sc(20) else "w")
+                    kind = ("e" if total <= dash_lo - 1 else
+                            "c" if total <= word_lo - 1 else "w")
                     cleaned[-1] = (kind, pst, total)
                 else:
                     cleaned.append((k, st, d))

@@ -44,7 +44,10 @@ SMOOTH_KIND = "sg"
 
 
 def _smooth_kernel(k: int) -> np.ndarray:
-    if SMOOTH_KIND == "flat":
+    if SMOOTH_KIND == "flat" or k < 3:
+        # a quadratic LLSQ needs >= 3 points (the Vandermonde normal
+        # matrix is singular below that, e.g. 1-2 fftx frames/step);
+        # the flat kernel is the k<3 least-squares fit anyway
         return np.full(k, 1.0 / k)
     if SMOOTH_KIND == "sg":
         x = np.arange(k) - k // 2

@@ -50,9 +50,17 @@ def load():
     # the reference reads/writes its par_* parameter files in the
     # process cwd (read_modepar_file modesub.c:789); run it from a
     # scratch dir so test/bench runs never litter the repo root
-    # (VERDICT r4 #8).  No repo code depends on a relative cwd.
+    # (VERDICT r4 #8).  One stable per-user dir (not a fresh mkdtemp
+    # per process — those would leak) and a process-global chdir: no
+    # repo code depends on a relative cwd (grep-verified; pytest and
+    # bench use absolute paths throughout), and the reference writes
+    # par_* files at arbitrary later times so a scoped chdir/restore
+    # around each call would not contain them.
     import tempfile
-    os.chdir(tempfile.mkdtemp(prefix="refharness-"))
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"linrad_refharness_cwd_{os.getuid()}")
+    os.makedirs(scratch, exist_ok=True)
+    os.chdir(scratch)
     lib = ctypes.CDLL(build_libref())
     lib.ref_setup.restype = ctypes.c_int
     lib.ref_setup.argtypes = [ctypes.c_int] * 9

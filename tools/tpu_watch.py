@@ -53,10 +53,16 @@ def main(max_hours: float = 8.0, sleep_s: float = 180.0) -> int:
             continue
         print(f"[{stamp}] attempt {attempt}: probe ok — running gate",
               flush=True)
+        t_attempt = time.time()
         rc, txt = _run([sys.executable,
                         os.path.join(_HERE, "tools", "tpu_parity.py")],
                        1800)
-        if rc == 0 and os.path.exists(out):
+        # success = a FRESH TPU_PARITY.json written by THIS attempt
+        # with ok=true (a stale file from an earlier session must not
+        # satisfy the gate — the parity tool exits 0 even on ok=false
+        # and only rewrites the file on success)
+        if rc == 0 and os.path.exists(out) \
+                and os.path.getmtime(out) >= t_attempt:
             try:
                 with open(out) as f:
                     rep = json.load(f)
