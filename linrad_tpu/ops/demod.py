@@ -80,7 +80,10 @@ def fm_detect(state: FMState, baseb: jax.Array, fs: float,
     prod = baseb * jnp.conj(prev)
     audio = jnp.arctan2(jnp.imag(prod), jnp.real(prod))
     audio = audio * jnp.float32(fs / (2.0 * jnp.pi * deviation_hz))
-    return FMState(last=baseb[-1], deemph=state.deemph), audio
+    # positive static index: x[-1] lowers to a complex dynamic_slice,
+    # which the axon backend cannot execute (test_no_complex_gather.py)
+    return FMState(last=baseb[baseb.shape[0] - 1],
+                   deemph=state.deemph), audio
 
 
 def fm_deemphasis(audio: jax.Array, fs: float, tau_us: float,

@@ -258,8 +258,11 @@ def spur_subtract_step(geo: Geometry, template: jax.Array,
                         pred[:, :, None, :] * t[:, :, :, None], 0.0)
         cleaned = cadd(cleaned, (slice(None), idx, slice(None)), -sub)
 
-    # state for the next step / the manager
-    amp = jnp.where(active[:, None], dsm_tot[-1] * ph[-1][:, None],
+    # state for the next step / the manager.  NB positive static
+    # indices: jnp's x[-1] lowers to a (complex) dynamic_slice, which
+    # this backend cannot execute (test_no_complex_gather.py)
+    amp = jnp.where(active[:, None],
+                    dsm_tot[n_frames - 1] * ph[n_frames - 1][:, None],
                     state.amp)
     frac_target = jnp.angle(rot * jnp.conj(base_rot)) * bins_per_rad
     frac = jnp.where(active,
