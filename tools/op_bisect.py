@@ -75,11 +75,37 @@ def main() -> int:
           lambda: jnp.where(xr > 0, lax.complex(xr, xr), 0.0))
     probe("complex_roll", lambda: jnp.roll(lax.complex(xr, xr), 7))
     # the actual frame_stream, complex vs float vs pair-workaround
+    # (LARGE buffers — the small-complex-gather probes above passed in
+    # the 13:18 window, so the decisive question is whether the
+    # failure is size-dependent; guard the big uploads so a burst
+    # cannot kill the whole script)
     from linrad_tpu.ops.framing import frame_stream
-    tailc = jnp.zeros((1024, 1), jnp.complex64)
-    blkf = jnp.asarray(rng.normal(size=(262144, 1)).astype(np.float32))
-    blkc = lax.complex(blkf, blkf)
-    tailf = jnp.zeros((1024, 1), jnp.float32)
+    try:
+        tailc = jnp.zeros((1024, 1), jnp.complex64)
+        blkf = jnp.asarray(rng.normal(size=(262144, 1)
+                                      ).astype(np.float32))
+        blkc = lax.complex(blkf, blkf)
+        tailf = jnp.zeros((1024, 1), jnp.float32)
+        float(np.asarray(jnp.sum(blkf)))
+    except Exception as e:  # noqa: BLE001
+        print("@@" + json.dumps(
+            {"big_upload": f"FAIL {type(e).__name__} {str(e)[:60]}"}),
+            flush=True)
+        print("@@" + json.dumps({"summary": "partial: big upload died",
+                                 "all": res}), flush=True)
+        return 0
+    # mid-size complex gather: localize the size threshold
+    try:
+        zm = lax.complex(blkf[:65536, 0], blkf[:65536, 0])
+        im = jnp.arange(63)[:, None] * 1024 + jnp.arange(2048)[None, :]
+        jax.block_until_ready(jax.jit(lambda: zm[im])())
+        float(np.asarray(jnp.sum(jnp.abs(jax.jit(lambda: zm[im])()))
+                         .astype(jnp.float32)))
+        res["complex_gather_64k"] = "OK"
+    except Exception as e:  # noqa: BLE001
+        res["complex_gather_64k"] = f"FAIL {type(e).__name__}"
+    print("@@" + json.dumps(
+        {"complex_gather_64k": res["complex_gather_64k"]}), flush=True)
     probe("frame_stream_float",
           lambda: frame_stream(tailf, blkf, 2048, 1024)[0])
     probe("frame_stream_complex",
