@@ -39,8 +39,26 @@ def frame_stream(tail: jax.Array, block: jax.Array, frame_size: int,
     assert s % hop == 0, (s, hop)
     n = s // hop
     buf = jnp.concatenate([tail, block], axis=0)
-    idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame_size)[None, :]
-    frames = cgather(buf, idx)
+    if frame_size % hop == 0:
+        # gather-free framing: when the hop divides the frame (every
+        # sin^N geometry: 50%/75% overlap), frame b is the
+        # concatenation of hop-sized chunks b..b+k-1, so the whole
+        # batch is k static slices stacked — no gather at all.  Faster
+        # under XLA everywhere, and on the axon backend LARGE gathers
+        # fail at (lazy) execution while slices/concats work
+        # (tools/op_bisect.py 2026-08-21).
+        k = frame_size // hop
+        chunks = buf.reshape((n + k - 1, hop) + buf.shape[1:])
+        # NB lax.slice + expand_dims, not chunks[j:j+n, None]: jnp's
+        # mixed basic indexing with None lowers to a (complex) gather
+        frames = jnp.concatenate(
+            [jnp.expand_dims(jax.lax.slice_in_dim(chunks, j, j + n), 1)
+             for j in range(k)], axis=1)
+        frames = frames.reshape((n, frame_size) + buf.shape[1:])
+    else:
+        idx = (jnp.arange(n)[:, None] * hop
+               + jnp.arange(frame_size)[None, :])
+        frames = cgather(buf, idx)
     new_tail = buf[s:]
     return frames, new_tail
 
