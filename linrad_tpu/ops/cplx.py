@@ -24,6 +24,24 @@ def _is_c(a: jax.Array) -> bool:
     return jnp.iscomplexobj(a)
 
 
+def czeros(shape, dtype=jnp.complex64) -> jax.Array:
+    """Complex zeros built from float-pair fills: the axon backend's
+    eager materialisation of a COMPLEX-CONSTANT broadcast
+    (jnp.zeros(c64), jnp.full(c64)) fails UNIMPLEMENTED in modes where
+    float fills and lax.complex of real arrays keep working (observed
+    2026-08-21 13:43: tables built via device_complex fine, state's
+    jnp.zeros(c64) died seconds later)."""
+    f = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    return lax.complex(jnp.zeros(shape, f), jnp.zeros(shape, f))
+
+
+def cfull(shape, value, dtype=jnp.complex64) -> jax.Array:
+    f = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    c = complex(value)
+    return lax.complex(jnp.full(shape, c.real, f),
+                       jnp.full(shape, c.imag, f))
+
+
 def cgather(buf: jax.Array, idx) -> jax.Array:
     """``buf[idx]`` via float-pair gathers for complex operands."""
     if _is_c(buf):

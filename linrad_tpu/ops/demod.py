@@ -67,7 +67,8 @@ class FMState:
 
     @classmethod
     def create(cls, channels: int) -> "FMState":
-        return cls(last=jnp.ones((channels,), jnp.complex64),
+        from .cplx import cfull
+        return cls(last=cfull((channels,), 1.0),
                    deemph=jnp.zeros((channels,), jnp.float32))
 
 
@@ -158,7 +159,8 @@ class CoherentState:
 
     @classmethod
     def create(cls, channels: int) -> "CoherentState":
-        return cls(phase=jnp.ones((channels,), jnp.complex64))
+        from .cplx import cfull
+        return cls(phase=cfull((channels,), 1.0))
 
 
 def coherent_detect(state: CoherentState, baseb: jax.Array,

@@ -98,8 +98,8 @@ class FFT1State:
     @classmethod
     def create(cls, geo: Geometry) -> "FFT1State":
         if geo.iq_input:
-            tail = jnp.zeros((geo.fft1_interleave_points, geo.channels),
-                             jnp.complex64)
+            from .cplx import czeros
+            tail = czeros((geo.fft1_interleave_points, geo.channels))
         else:
             tail = jnp.zeros((2 * geo.fft1_interleave_points,
                               geo.channels), jnp.float32)

@@ -17,6 +17,7 @@ import numpy as np
 from ..geometry import Geometry
 from ..utils.pytree import pytree_dataclass
 from . import fft as fftlib
+from .cplx import czeros
 from .framing import frame_stream
 from .windows import make_window
 
@@ -39,8 +40,7 @@ class FFT2State:
     @classmethod
     def create(cls, geo: Geometry) -> "FFT2State":
         return cls(
-            tail=jnp.zeros((geo.fft2_interleave_points, geo.channels),
-                           jnp.complex64),
+            tail=czeros((geo.fft2_interleave_points, geo.channels)),
             sumsq_avg=jnp.full((geo.fft2_size, geo.channels), 1e-20,
                                jnp.float32),
         )

@@ -37,8 +37,9 @@ class FFT3State:
 
     @classmethod
     def create(cls, geo: Geometry) -> "FFT3State":
-        return cls(tail=jnp.zeros((geo.fft3_interleave_points, geo.channels),
-                                  jnp.complex64))
+        from .cplx import czeros
+        return cls(tail=czeros((geo.fft3_interleave_points,
+                                geo.channels)))
 
 
 def fft3_step(geo: Geometry, tables: FFT3Tables, state: FFT3State,

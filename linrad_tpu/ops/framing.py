@@ -66,7 +66,11 @@ def frame_stream(tail: jax.Array, block: jax.Array, frame_size: int,
 def make_tail(frame_size: int, hop: int, trailing_shape=(),
               dtype=jnp.complex64) -> jax.Array:
     """Zero-initialised carry tail for :func:`frame_stream`."""
-    return jnp.zeros((frame_size - hop,) + tuple(trailing_shape), dtype)
+    shape = (frame_size - hop,) + tuple(trailing_shape)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        from .cplx import czeros
+        return czeros(shape, dtype)
+    return jnp.zeros(shape, dtype)
 
 
 def overlap_add(frames: jax.Array, hop: int, carry: jax.Array

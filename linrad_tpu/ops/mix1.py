@@ -27,6 +27,7 @@ import numpy as np
 from ..geometry import Geometry
 from ..utils.pytree import pytree_dataclass
 from . import fft as fftlib
+from .cplx import czeros
 from .framing import overlap_add
 from .windows import synthesis_weights
 
@@ -73,8 +74,8 @@ class Mix1State:
     def create(cls, geo: Geometry) -> "Mix1State":
         return cls(
             phase_idx=jnp.zeros((), jnp.int32),
-            ola_carry=jnp.zeros((geo.mix1_interleave_points, geo.channels),
-                                jnp.complex64),
+            ola_carry=czeros((geo.mix1_interleave_points,
+                              geo.channels)),
             frac_phase=jnp.zeros((), jnp.float32),
         )
 

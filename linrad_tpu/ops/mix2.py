@@ -162,8 +162,9 @@ class Mix2State:
     def create(cls, geo: Geometry) -> "Mix2State":
         # two independent buffers (a shared array breaks donation)
         ov = geo.mix2_size - geo.mix2_new_points
-        return cls(ola_carry=jnp.zeros((ov, geo.channels), jnp.complex64),
-                   carr_ola_carry=jnp.zeros((ov, geo.channels),
+        from .cplx import czeros
+        return cls(ola_carry=czeros((ov, geo.channels)),
+                   carr_ola_carry=czeros((ov, geo.channels),
                                             jnp.complex64))
 
 

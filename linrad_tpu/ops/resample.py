@@ -51,6 +51,9 @@ class ResamplerState:
     @classmethod
     def create(cls, channels: int, dtype=jnp.float32, taps: int = 4
                ) -> "ResamplerState":
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            from .cplx import czeros
+            return cls(history=czeros((taps - 1, channels), dtype))
         return cls(history=jnp.zeros((taps - 1, channels), dtype))
 
 

@@ -36,8 +36,9 @@ class Timf2State:
     def create(cls, geo: Geometry) -> "Timf2State":
         # two independent buffers (a shared array breaks donation)
         shape = (geo.fft1_interleave_points, geo.channels)
-        return cls(weak_carry=jnp.zeros(shape, jnp.complex64),
-                   strong_carry=jnp.zeros(shape, jnp.complex64))
+        from .cplx import czeros
+        return cls(weak_carry=czeros(shape),
+                   strong_carry=czeros(shape))
 
 
 def make_timf2_syn(geo: Geometry) -> jax.Array:

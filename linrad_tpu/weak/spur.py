@@ -28,6 +28,7 @@ import numpy as np
 from ..geometry import Geometry
 from ..utils.pytree import pytree_dataclass
 from ..ops.windows import make_window
+from ..ops.cplx import czeros as _czeros, cfull as _cfull
 
 MAX_SPURS = 16      # MAX_NO_OF_SPURS analog (static shape)
 TEMPLATE_HALF = 3   # bins each side of the spur centre
@@ -103,8 +104,8 @@ class SpurState:
     def create(cls, geo: Geometry) -> "SpurState":
         return cls(
             bins=jnp.full((MAX_SPURS,), -1, jnp.int32),
-            amp=jnp.zeros((MAX_SPURS, geo.channels), jnp.complex64),
-            rot=jnp.ones((MAX_SPURS,), jnp.complex64),
+            amp=_czeros((MAX_SPURS, geo.channels)),
+            rot=_cfull((MAX_SPURS,), 1.0),
             frac=jnp.zeros((MAX_SPURS,), jnp.float32),
         )
 
