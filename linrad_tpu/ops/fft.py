@@ -62,10 +62,20 @@ def _matmul_fft(x: jax.Array, inverse: bool,
         xr = xr.astype(jnp.bfloat16)
         xi = xi.astype(jnp.bfloat16)
     # (…, n) @ (n, n): 4 real matmuls; XLA maps these onto the MXU.
-    yr = jnp.matmul(xr, wr, preferred_element_type=jnp.float32) - \
-         jnp.matmul(xi, wi, preferred_element_type=jnp.float32)
-    yi = jnp.matmul(xr, wi, preferred_element_type=jnp.float32) + \
-         jnp.matmul(xi, wr, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: the TPU's DEFAULT fp32 matmul precision is
+    # bfloat16 passes (~2e-3 transform error), which the r5 numerics
+    # gate caught compounding to 0.62 relative audio error through the
+    # cascade; HIGHEST requests full-fp32-accuracy accumulation.  The
+    # explicit bf16 variant remains the fast loose option.
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    yr = jnp.matmul(xr, wr, preferred_element_type=jnp.float32,
+                    precision=prec) - \
+         jnp.matmul(xi, wi, preferred_element_type=jnp.float32,
+                    precision=prec)
+    yi = jnp.matmul(xr, wi, preferred_element_type=jnp.float32,
+                    precision=prec) + \
+         jnp.matmul(xi, wr, preferred_element_type=jnp.float32,
+                    precision=prec)
     return jax.lax.complex(yr, yi)
 
 

@@ -108,21 +108,31 @@ def main() -> int:
 
     import __graft_entry__ as ge
 
-    step, (tables, state, block, tune) = ge.entry()
-    stepj = jax.jit(step)
-    t0 = time.perf_counter()
-    try:
-        state2, o = stepj(tables, state, block, tune)
-        s = float(np.asarray(jnp.sum(jnp.abs(o.audio))
-                             .astype(jnp.float32)))
-        dt = time.perf_counter() - t0
-        out["chain_step"] = {
-            "ok": True, "first_fetch_s": round(dt, 2),
-            "audio_sum": round(s, 4),
-            "finite": bool(np.isfinite(s))}
-    except Exception as e:  # noqa: BLE001
-        out["chain_step"] = {"ok": False,
-                             "err": f"{type(e).__name__} {str(e)[:80]}"}
+    # the backend's failure bursts are sub-minute; retry the whole
+    # setup+first-step IN-PROCESS (imports are the expensive part —
+    # each retry after them is cheap)
+    last_err = None
+    for attempt in range(6):
+        t0 = time.perf_counter()
+        try:
+            step, (tables, state, block, tune) = ge.entry()
+            stepj = jax.jit(step)
+            state2, o = stepj(tables, state, block, tune)
+            s = float(np.asarray(jnp.sum(jnp.abs(o.audio))
+                                 .astype(jnp.float32)))
+            dt = time.perf_counter() - t0
+            out["chain_step"] = {
+                "ok": True, "first_fetch_s": round(dt, 2),
+                "audio_sum": round(s, 4), "attempt": attempt,
+                "finite": bool(np.isfinite(s))}
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = f"{type(e).__name__} {str(e)[:80]}"
+            print("@@" + json.dumps({"attempt": attempt,
+                                     "err": last_err}), flush=True)
+            time.sleep(20)
+    else:
+        out["chain_step"] = {"ok": False, "err": last_err}
         print("@@" + json.dumps(out), flush=True)
         _stage_bisect(out)
         print("@@" + json.dumps(out), flush=True)
