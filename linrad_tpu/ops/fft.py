@@ -26,8 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Transforms at or below this size use the MXU matmul path by default.
-MXU_FFT_MAX_SIZE = 2048
+# Size at or below which variant=None selects the MXU matmul path.
+# Default 0 = XLA's FFT everywhere: the r5 FETCH-VERIFIED race (real
+# execution, tools/fetch_bench.py, 3072x2048 c64) measured XLA FFT
+# 1.85 ms vs matmul-DFT 4.80 ms fp32-HIGHEST / 1.99 ms bf16 — the
+# rounds-1-4 "MXU default" was an enqueue-rate artifact of the lazily
+# executing backend (docs/PERF.md).  "mxu"/"mxu_bf16" remain explicit
+# per-call variants (fft_cntrl-style), and raising this threshold
+# restores the old behavior.
+MXU_FFT_MAX_SIZE = 0
 
 
 @functools.lru_cache(maxsize=32)

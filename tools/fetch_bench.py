@@ -57,13 +57,20 @@ def bench_fft_variants(n: int = 2048, batch: int = 3072) -> dict:
                         + 1j * rng.normal(size=(batch, n))
                         ).astype(np.complex64))
     out = {"n": n, "batch": batch}
-    for variant in ("mxu", "xla"):
-        f = jax.jit(lambda a, v=variant: fftlib.fft(a, variant=v))
+    reps = 10      # 2*reps transforms per fetch: amortizes the ~29 ms
+    for variant in ("mxu", "mxu_bf16", "xla"):
+
+        def f_(a, v=variant):
+            y = a
+            for _ in range(reps):      # fwd+inv round trips, chained
+                y = fftlib.ifft(fftlib.fft(y, variant=v), variant=v)
+            return y
+        f = jax.jit(f_)
         jax.block_until_ready(f(x))          # compile
-        dt = _timed_fetch(lambda: f(x), lambda o: o)
+        dt = _timed_fetch(lambda: f(x), lambda o: o) / (2 * reps)
         out[f"{variant}_ms"] = round(dt * 1e3, 3)
         out[f"{variant}_gflops"] = round(float(
-            batch * (8.0 * n * n if variant == "mxu"
+            batch * (8.0 * n * n if variant.startswith("mxu")
                      else 5.0 * n * np.log2(n)) / dt / 1e9), 1)
     out["mxu_over_xla"] = round(out["xla_ms"] / out["mxu_ms"], 2)
     return out
