@@ -651,11 +651,22 @@ def _candidate_worker(idx: int) -> None:
     """Run CANDIDATES[idx] and print '@@'+JSON — invoked in a
     subprocess by main() so a HUNG remote compile (which blocks SIGALRM
     forever: signals only fire on return to the interpreter) can be
-    hard-killed without losing the round's artifact."""
+    hard-killed without losing the round's artifact.  The backend's
+    failure bursts are sub-minute, so retry in-process (imports are
+    the expensive part; retries after them are cheap)."""
     fn, overrides = CANDIDATES[idx]
-    v = fn(**overrides)
-    print("@@" + json.dumps({"msps": v, "windows": list(LAST_WINDOWS)}),
-          flush=True)
+    last = None
+    for attempt in range(4):
+        try:
+            v = fn(**overrides)
+            print("@@" + json.dumps({"msps": v,
+                                     "windows": list(LAST_WINDOWS)}),
+                  flush=True)
+            return
+        except Exception as e:  # noqa: BLE001
+            last = e
+            time.sleep(15)
+    raise last
 
 
 def main():
