@@ -732,20 +732,28 @@ def main():
     win_fn, win_cfg = None, None
     win_windows: list = []
     # every candidate is fetch-verified (true completion), so the race
-    # RUNS ALL candidates it has budget for and keeps the best — the
-    # numbers are comparable real rates, not enqueue artifacts
-    for i, (fn, overrides) in enumerate(CANDIDATES):
-        if left() < 75:
-            break
-        # first leash is generous: backend init alone takes 30-60 s
-        # through the tunnel when degraded
-        per = min(240.0 if tpu_msps == 0.0 else 150.0, left() - 60)
-        got = _sub_json(
-            f"import bench; bench._candidate_worker({i})", per)
-        if "msps" in got and got["msps"] > tpu_msps:
-            tpu_msps = got["msps"]
-            win_fn, win_cfg = fn.__name__, overrides
-            win_windows = list(got.get("windows", []))
+    # RUNS ALL candidates it has budget for and keeps the best.  The
+    # backend hangs whole subprocesses in sub-minute bursts (remote
+    # compile/cache loads are uninterruptible), so failed candidates
+    # are retried in LATER ROUNDS with fresh subprocesses — a new
+    # process in a new minute usually gets through.
+    done: dict[int, dict] = {}
+    rounds = 0
+    while left() > 90 and rounds < 4 and len(done) < len(CANDIDATES):
+        for i, (fn, overrides) in enumerate(CANDIDATES):
+            if i in done or left() < 90:
+                continue
+            per = min(170.0, left() - 60)
+            got = _sub_json(
+                f"import bench; bench._candidate_worker({i})", per)
+            if "msps" in got:
+                done[i] = got
+                if got["msps"] > tpu_msps:
+                    tpu_msps = got["msps"]
+                    win_fn = fn.__name__
+                    win_cfg = overrides
+                    win_windows = list(got.get("windows", []))
+        rounds += 1
     if tpu_msps == 0.0:
         win_fn, win_cfg = "none", {}
 
