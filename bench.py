@@ -737,13 +737,17 @@ def main():
     # compile/cache loads are uninterruptible), so failed candidates
     # are retried in LATER ROUNDS with fresh subprocesses — a new
     # process in a new minute usually gets through.
+    # Budget priority: the candidate race gets the BULK of the budget
+    # (the parity gate has a committed TPU_PARITY.json carry-forward,
+    # so its live re-run is a bonus).  The remote's slow minutes need
+    # 200+ s leashes even for cached programs.
     done: dict[int, dict] = {}
     rounds = 0
-    while left() > 90 and rounds < 4 and len(done) < len(CANDIDATES):
+    while left() > 130 and rounds < 5 and len(done) < len(CANDIDATES):
         for i, (fn, overrides) in enumerate(CANDIDATES):
-            if i in done or left() < 90:
+            if i in done or left() < 130:
                 continue
-            per = min(170.0, left() - 60)
+            per = min(260.0, left() - 70)
             got = _sub_json(
                 f"import bench; bench._candidate_worker({i})", per)
             if "msps" in got:
@@ -796,7 +800,7 @@ def main():
         "buf = io.StringIO();\n"
         "with contextlib.redirect_stdout(buf):\n"
         "    rep = pm()\n"
-        "print('@@' + json.dumps(rep))", min(600, left()))
+        "print('@@' + json.dumps(rep))", min(420, left()))
     if "error" in tpu_parity:
         prior = os.path.join(_HERE, "TPU_PARITY.json")
         if os.path.exists(prior):
