@@ -812,7 +812,7 @@ def main():
     xl = cache.get("xlinrad_msps")
     roof = bench_roofline(tpu_msps, **{
         k: v for k, v in (win_cfg or {}).items()
-        if k not in ("k_steps", "dispatches", "windows")})
+        if k not in ("k_steps", "dispatches", "windows", "steps")})
     vs_xl = round(tpu_msps / xl, 2) if xl else None
     report = {
         "metric": "complex Msamples/s/chip through fft1->blanker->fft2->demod",
@@ -958,7 +958,7 @@ def main():
     # landed, enqueue-rate upper bound otherwise)
     roof = bench_roofline(tpu_msps, **{
         k: v for k, v in (win_cfg or {}).items()
-        if k not in ("k_steps", "dispatches", "windows")})
+        if k not in ("k_steps", "dispatches", "windows", "steps")})
     report.update({k: roof[k] for k in (
         "flops_per_sample", "executed_flops_per_sample",
         "achieved_tflops", "analytic_tflops", "executed_tflops")})
